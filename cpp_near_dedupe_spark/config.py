@@ -1,0 +1,60 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference CLI defaults
+(`/root/reference/CPPDeduper/CPPDeduper.cpp:336-364`): Jaccard threshold
+0.7, N=256 sketch hashes, 64 bands × 4 values/band, 64-bit keys, XXH64
+seed 0, shingle width K=5 (`CPPDeduper.cpp:20`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DedupeConfig:
+    # sketch semantics (SURVEY.md §2.1)
+    shingle_k: int = 5
+    num_hashes: int = 256
+    bands: int = 64
+    seed: int = 0
+    threshold: float = 0.7
+
+    # input binding
+    id_col: str = "doc_id"          # stable row identity (long); for `pages`
+    text_col: str = "text"          # the one analyzed column
+    order_col: str | None = None    # keep-first tiebreak (e.g. warc_ts); None -> id_col
+
+    # scale knobs
+    shuffle_partitions: int = 32
+    max_records_per_batch: int = 2048   # Arrow batch size for the sketch UDF
+    hot_band_cap: int = 2000            # bucket size above which a band key is salted/capped
+    salt_buckets: int = 16              # sub-buckets for salted hot keys
+    cc_max_iterations: int = 20         # large-star/small-star safety bound
+
+    @property
+    def band_size(self) -> int:
+        return self.num_hashes // self.bands
+
+    def validate(self) -> None:
+        if self.num_hashes % self.bands:
+            raise ValueError(
+                f"bands ({self.bands}) must evenly divide num_hashes "
+                f"({self.num_hashes})"  # reference crashes here: LSHBandHashMap.h:261-269
+            )
+        if not (0.0 < self.threshold <= 1.0):
+            raise ValueError("threshold must be in (0, 1]")
+
+    def fingerprint(self) -> str:
+        """Stable hash of the semantics-bearing fields, used by the stage
+        checkpoint manifest to decide whether a cached stage is reusable."""
+        sem = asdict(self)
+        # scale knobs don't change results -> excluded from the fingerprint
+        for k in ("shuffle_partitions", "max_records_per_batch"):
+            sem.pop(k)
+        return hashlib.sha256(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupeConfig()
