@@ -1,0 +1,44 @@
+"""Blocking operator: signatures → exploded (band_id, band_key, doc_id).
+
+Replaces the reference's mutable per-band LSH index
+(`/root/reference/CPPDeduper/LSHBandHashMap.h:234-358`) with a materialized
+DataFrame: "inserting into the index" becomes appending rows, and "candidate
+lookup" becomes a self-equi-join on (band_id, band_key) (see pairs.py).
+Band keys are computed batch-vectorized (functions/bands.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import DedupeConfig
+
+
+def explode_bands(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """(id, signature) → (id, band_id, band_key). Docs with empty sketches
+    produce no rows — they can never collide (reference parity: empty
+    sketches are never duplicates)."""
+    id_col = cfg.id_col
+    bands, num_hashes = cfg.bands, cfg.num_hashes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.bands import band_keys_batch
+
+        for pdf in batches:
+            sigs = [np.asarray(s, dtype=np.int64).view(np.uint64) for s in pdf["signature"]]
+            doc_idx, band_id, band_key = band_keys_batch(sigs, bands=bands, num_hashes=num_hashes)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values[doc_idx],
+                    "band_id": band_id.astype(np.int32),
+                    "band_key": band_key.view(np.int64),
+                }
+            )
+
+    return signatures.select(id_col, "signature").mapInPandas(
+        run, schema=f"{id_col} long, band_id int, band_key long"
+    )

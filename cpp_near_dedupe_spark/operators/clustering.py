@@ -1,0 +1,111 @@
+"""Transitive duplicate clustering: connected components over dupe edges.
+
+The reference's greedy keep-first pass (`/root/reference/CPPDeduper/
+ComparerThread.h:271-414`) is inherently sequential — each doc is compared
+against the retained-unique set built so far. The order-independent,
+distributed equivalent (SURVEY.md §2 C1) is connected components over the
+verified duplicate edges, implemented as the alternating large-star /
+small-star iteration of Kiveris et al., "Connected Components in MapReduce
+and Beyond" (SOCC 2014), expressed entirely as DataFrame joins:
+
+* large-star: for each node u, connect every strictly-larger neighbor to
+  the minimum of N(u) ∪ {u};
+* small-star: for each node u (edges directed larger→smaller), connect all
+  smaller neighbors and u itself to their minimum.
+
+Both steps preserve connectivity and strictly reduce the potential; at
+convergence the edge set is a star forest rooted at each component's
+minimum id — which doubles as the cluster id. Converges in O(log²) rounds
+(in practice 3–5 for near-dupe clusters, which have tiny diameters).
+
+Each iteration is ``localCheckpoint``-ed: iterative self-joins otherwise
+grow an exponential lineage that Catalyst re-analyzes every round. On a
+cluster, checkpointing to the Iceberg/parquet stage directory every few
+rounds also bounds recomputation on executor loss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonicalize(edges: DataFrame) -> DataFrame:
+    """Undirected (a, b) → directed large→small (u, v), self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # edges are canonical u > v, so min(N_small(u) ∪ {u}) = min(v)
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = edges.join(mins, "u")
+    moved = with_min.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    selfe = mins.select("u", F.col("m").alias("v"))
+    return moved.unionByName(selfe).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: ANSI mode (Spark 4 default) overflows on summed hashes
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, use_local_checkpoint: bool = True
+) -> DataFrame:
+    """Undirected edges (a, b) → (id, cluster_id) for every node appearing
+    in an edge. cluster_id = minimum node id of the component. Nodes not in
+    any edge are singletons and are absent (callers treat missing as
+    cluster_id = own id)."""
+    cur = _canonicalize(edges)
+    if use_local_checkpoint:
+        cur = cur.localCheckpoint(eager=True)
+    prev_sum = _checksum(cur)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur))
+        if use_local_checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        cur_sum = _checksum(nxt)
+        cur = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    # converged star forest: each non-root u points at its root; roots point
+    # at themselves implicitly. min() guards the (impossible by construction,
+    # cheap to enforce) case of duplicate memberships.
+    members = cur.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    roots = cur.select(F.col("v").alias("u")).distinct().join(
+        members.select("u"), "u", "left_anti"
+    ).select("u", F.col("u").alias("cluster_id"))
+    return members.unionByName(roots).select(
+        F.col("u").alias("id"), "cluster_id"
+    )

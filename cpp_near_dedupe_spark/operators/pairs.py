@@ -1,0 +1,76 @@
+"""Candidate-pair generation: band self-join with hot-bucket skew handling.
+
+The reference finds candidates by probing a per-band multimap and dedupes
+re-reached pairs with CAS flags (`/root/reference/CPPDeduper/
+LSHBandHashMap.h:360-374`, `ComparerThread.h:120-150`). The Spark-first
+equivalent is a self-equi-join of the exploded bands on
+``(band_id, band_key)`` with ``a < b`` plus ``dropDuplicates`` — the CAS
+flag trick becomes a plain distinct *before* the expensive signature join.
+
+Scale design (north_rule: explicit skew handling). A "hot band" — one
+bucket holding h documents (boilerplate/template pages at Common-Crawl
+scale) — would make the naive self-join emit h·(h−1)/2 pairs. We bound
+this without silently losing the cluster:
+
+* buckets with ≤ ``hot_band_cap`` docs: exact all-pairs (the normal path;
+  AQE skew-join splits oversized shuffle partitions underneath).
+* hotter buckets: all-pairs among the first ``hot_band_cap`` docs (ranked
+  by doc id — deterministic), plus a *star* — every remaining doc paired
+  with the bucket's minimum doc — so the bucket stays one connected
+  candidate group at O(h) extra pairs instead of O(h²). Every emitted pair
+  is still Jaccard-verified downstream, so the star cannot cause false
+  merges; it can only miss pairs of docs that are each dissimilar to the
+  star center but similar to each other *and* collide in no other band.
+  The count of star-routed docs is reported in the stage metrics (no
+  silent truncation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DedupeConfig
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """(id, band_id, band_key) → distinct (a, b) with a < b."""
+    id_col = cfg.id_col
+    cap = cfg.hot_band_cap
+
+    w = Window.partitionBy("band_id", "band_key").orderBy(F.col(id_col))
+    ranked = bands.withColumn("rn", F.row_number().over(w))
+
+    head = ranked.filter(F.col("rn") <= cap).select("band_id", "band_key", id_col, "rn")
+    left = head.select(
+        "band_id", "band_key", F.col(id_col).alias("a"), F.col("rn").alias("rn_a")
+    )
+    right = head.select(
+        "band_id", "band_key", F.col(id_col).alias("b"), F.col("rn").alias("rn_b")
+    )
+    pairs_head = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("rn_a") < F.col("rn_b"))
+        .select("a", "b")
+    )
+
+    # star edges for overflow docs in hot buckets
+    centers = ranked.filter(F.col("rn") == 1).select(
+        "band_id", "band_key", F.col(id_col).alias("a")
+    )
+    overflow = ranked.filter(F.col("rn") > cap).select(
+        "band_id", "band_key", F.col(id_col).alias("b")
+    )
+    pairs_star = overflow.join(centers, ["band_id", "band_key"]).select("a", "b")
+
+    return pairs_head.unionByName(pairs_star).dropDuplicates(["a", "b"])
+
+
+def hot_bucket_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Per-bucket sizes above the cap — logged to the metrics table so
+    star-routing is observable, never silent."""
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > cfg.hot_band_cap)
+    )

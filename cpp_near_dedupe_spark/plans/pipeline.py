@@ -1,0 +1,172 @@
+"""The staged dedupe pipeline: sketch → block → pairs → score → cluster → resolve.
+
+Replaces the reference's hard-wired thread topology
+(`/root/reference/CPPDeduper/CPPDeduper.cpp:85-217`) with six declarative
+DataFrame stages, each checkpointed to the stage store so any stage is
+resumable (north_rule): a rerun skips every stage whose checkpoint manifest
+entry matches the (config fingerprint, input token) — the Spark analogue of
+the reference's drain/restart-from-scratch model, which had no resumability
+at all.
+
+Checkpoint store: parquet directories + a JSON manifest. In a production
+deployment each stage writes an Iceberg table and the manifest is the
+Iceberg snapshot lineage; this environment has no Iceberg runtime jars, so
+the store abstracts only what we need (write/read/exists). Per-stage,
+per-partition row counters are appended to ``_metrics`` (lineage
+requirement), including hot-band star-routing counts — no silent drops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DedupeConfig
+from ..operators.sketch_op import sketch_documents
+from ..operators.blocking import explode_bands
+from ..operators.pairs import candidate_pairs, hot_bucket_stats
+from ..operators.scoring import score_pairs
+from ..operators.clustering import connected_components
+from ..operators.resolve import resolve_clusters
+
+STAGES = ("signatures", "bands", "pairs", "edges", "clusters", "resolved")
+
+
+class CheckpointStore:
+    """Parquet-directory stage store with a JSON manifest."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def is_complete(self, stage: str, fingerprint: str) -> bool:
+        e = self._manifest().get(stage)
+        return bool(e) and e.get("fingerprint") == fingerprint and os.path.exists(
+            os.path.join(self.path(stage), "_SUCCESS")
+        )
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+    def write(self, stage: str, df: DataFrame, fingerprint: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(self.path(stage))
+        out = self.spark.read.parquet(self.path(stage))
+        m = self._manifest()
+        m[stage] = {
+            "fingerprint": fingerprint,
+            "rows": out.count(),
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._save_manifest(m)
+        return out
+
+    def append_metrics(self, stage: str, df: DataFrame) -> None:
+        """Per-partition row counters for the stage output (lineage)."""
+        counters = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit(stage))
+        )
+        counters.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    bands: DataFrame
+    pairs: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
+    resolved: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: DedupeConfig | None = None,
+    checkpoint_dir: str | None = None,
+    input_token: str = "",
+    stop_after: str | None = None,
+) -> PipelineResult:
+    """Run (or resume) the dedupe pipeline over ``docs``.
+
+    ``docs`` must carry ``cfg.id_col`` (long, unique) and ``cfg.text_col``.
+    With ``checkpoint_dir``, completed stages (matching config fingerprint +
+    input token) are read back instead of recomputed; ``stop_after`` lets
+    callers run a prefix (used by the resume tests and by incremental jobs).
+    """
+    cfg = cfg or DedupeConfig()
+    cfg.validate()
+    store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+    fp = cfg.fingerprint() + ":" + input_token
+
+    def stage(name: str, make) -> DataFrame:
+        if store is None:
+            return make()
+        if store.is_complete(name, fp):
+            return store.read(name)
+        out = store.write(name, make(), fp)
+        store.append_metrics(name, out)
+        return out
+
+    signatures = stage("signatures", lambda: sketch_documents(docs, cfg))
+    if stop_after == "signatures":
+        return PipelineResult(signatures, None, None, None, None, None)
+
+    bands = stage("bands", lambda: explode_bands(signatures, cfg))
+    if stop_after == "bands":
+        return PipelineResult(signatures, bands, None, None, None, None)
+
+    def make_pairs() -> DataFrame:
+        if store is not None:
+            # observability: record over-cap buckets routed through the star
+            stats = hot_bucket_stats(bands, cfg).withColumn("stage", F.lit("pairs_hot_buckets"))
+            stats.write.mode("append").parquet(os.path.join(store.root, "_metrics"))
+        return candidate_pairs(bands, cfg)
+
+    pairs = stage("pairs", make_pairs)
+    if stop_after == "pairs":
+        return PipelineResult(signatures, bands, pairs, None, None, None)
+
+    edges = stage(
+        "edges",
+        lambda: score_pairs(pairs, signatures, cfg).filter(
+            F.col("jaccard") >= F.lit(cfg.threshold)
+        ),
+    )
+    if stop_after == "edges":
+        return PipelineResult(signatures, bands, pairs, edges, None, None)
+
+    clusters = stage(
+        "clusters",
+        lambda: connected_components(
+            edges.select("a", "b"), max_iterations=cfg.cc_max_iterations
+        ),
+    )
+    if stop_after == "clusters":
+        return PipelineResult(signatures, bands, pairs, edges, clusters, None)
+
+    resolved = stage("resolved", lambda: resolve_clusters(docs, clusters, cfg))
+    return PipelineResult(signatures, bands, pairs, edges, clusters, resolved)

@@ -1,0 +1,88 @@
+"""spark-submit entry point for the dedupe pipeline.
+
+Usage (local sandbox; on a cluster drop --master and submit with
+``spark-submit --py-files cpp_near_dedupe_spark.zip -m ...``):
+
+    python3 -m cpp_near_dedupe_spark.plans.run_pipeline \
+        --input /path/to/pages_parquet --output /tmp/out \
+        --checkpoint-dir /tmp/ckpt --threshold 0.7
+
+Flags mirror the reference CLI (`/root/reference/CPPDeduper/
+CPPDeduper.cpp:314-376`): --jaccardSim -> --threshold, --numMinhashKeys ->
+--num-hashes, --bands, --dataColumnName -> --text-col. The reference's
+``-m/--buckets`` flag is omitted: it was dead (a CLI bug wrote it into
+numBands, `CPPDeduper.cpp:362`) and our band keys don't use bucket counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="PySpark near-dedupe pipeline")
+    p.add_argument("--input", required=True, help="pages parquet dir or iceberg:<table>")
+    p.add_argument("--output", required=True, help="output parquet dir (deduped pages)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--num-hashes", type=int, default=256)
+    p.add_argument("--bands", type=int, default=64)
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--order-col", default=None)
+    p.add_argument("--hot-band-cap", type=int, default=2000)
+    p.add_argument("--master", default=None, help="e.g. local[8]; default from session")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..config import DedupeConfig
+    from ..session import build_session
+    from ..sources.pages import load_pages, with_doc_id
+    from ..operators.resolve import dedupe_output
+    from .pipeline import run_pipeline
+
+    cfg = DedupeConfig(
+        shingle_k=args.shingle_k,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        threshold=args.threshold,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        order_col=args.order_col,
+        hot_band_cap=args.hot_band_cap,
+    )
+    cfg.validate()
+    spark = build_session(
+        app_name="near-dedupe",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    t0 = time.time()
+    docs = with_doc_id(load_pages(spark, args.input), cfg)
+    res = run_pipeline(
+        spark, docs, cfg, checkpoint_dir=args.checkpoint_dir, input_token=args.input
+    )
+    kept = dedupe_output(docs, res.resolved, cfg)
+    kept.write.mode("overwrite").parquet(args.output)
+
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output).count()
+    summary = {
+        "input_rows": n_in,
+        "output_rows": n_out,
+        "duplicates_removed": n_in - n_out,
+        "wall_sec": round(time.time() - t0, 2),
+        "docs_per_sec": round(n_in / max(time.time() - t0, 1e-9), 1),
+        "config_fingerprint": cfg.fingerprint(),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
