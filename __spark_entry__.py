@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship near-dedupe pipeline on sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data ops); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible
+query. The sketch/LSH/simhash chain (XXH64 over UTF-16 bytes of the exact
+reference tokenizer) is not expressible in SQL — those entries are
+deliberately absent so the driver records the weaker rows-only check;
+their semantics are pinned instead by tests/ (golden vectors + pure-Python
+oracle + brute-force F1 corpus).
+
+Column names and types are aligned pairwise (Spark ints cast to long where
+DuckDB returns BIGINT; floats rounded identically on both sides).
 """
 
 from __future__ import annotations
@@ -12,27 +19,329 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpp_near_dedupe_spark.config import DedupeConfig
+from cpp_near_dedupe_spark.operators.text_analysis import STOPWORDS
+
+CFG = DedupeConfig(id_col="doc_id", text_col="text")
+
+# regex word tokenizer shared by the SQL-checkable analytics ops
+_SPLIT = "[^a-z0-9]+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dedupe pipeline (sketch → LSH → Jaccard → CC →
+    resolve) over sf0.001 documents; returns (doc_id, cluster_id, is_kept)."""
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, docs, CFG)
+    return res.resolved
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_lsh_signatures(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.sketch_op import sketch_documents
+
+    sigs = sketch_documents(_docs(spark, sf_dir), CFG)
+    # project deterministic scalar columns (signature array itself is exact
+    # but rows-only hashing of arrays is fine too; keep both)
+    return sigs.select(
+        "doc_id",
+        F.col("sig_len").cast("long").alias("sig_len"),
+        F.element_at("signature", 1).alias("sig_first"),
+    )
+
+
+def _q_lsh_bands(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.sketch_op import sketch_documents
+    from cpp_near_dedupe_spark.operators.blocking import explode_bands
+
+    sigs = sketch_documents(_docs(spark, sf_dir), CFG)
+    return explode_bands(sigs, CFG).select(
+        "doc_id", F.col("band_id").cast("long").alias("band_id"), "band_key"
+    )
+
+
+def _q_lsh_candidate_pairs(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.sketch_op import sketch_documents
+    from cpp_near_dedupe_spark.operators.blocking import explode_bands
+    from cpp_near_dedupe_spark.operators.pairs import candidate_pairs
+
+    sigs = sketch_documents(_docs(spark, sf_dir), CFG)
+    return candidate_pairs(explode_bands(sigs, CFG), CFG)
+
+
+def _q_lsh_dupe_edges(spark, sf_dir):
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, _docs(spark, sf_dir), CFG, stop_after="edges")
+    return res.edges.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_lsh_clusters(spark, sf_dir):
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, _docs(spark, sf_dir), CFG)
+    return res.resolved
+
+
+def _q_lsh_dedupe_kept(spark, sf_dir):
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+    from cpp_near_dedupe_spark.operators.resolve import dedupe_output
+
+    docs = _docs(spark, sf_dir)
+    res = run_pipeline(spark, docs, CFG)
+    return dedupe_output(docs, res.resolved, CFG).select("doc_id", "lang", "source")
+
+
+def _q_exact_dedupe(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.exact_dedupe import exact_dedupe
+
+    return exact_dedupe(_docs(spark, sf_dir))
+
+
+def _q_exact_dupe_groups(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.exact_dedupe import exact_dupe_groups
+
+    return exact_dupe_groups(_docs(spark, sf_dir))
+
+
+def _q_doc_stats(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.text_analysis import doc_stats
+
+    out = doc_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        "avg_word_len",
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.text_analysis import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.text_analysis import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_token_histogram(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.text_analysis import token_histogram
+
+    return token_histogram(_docs(spark, sf_dir), min_count=100)
+
+
+def _q_language_id(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.text_analysis import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard_adjacent(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.ngram import ngram_jaccard_adjacent
+
+    return ngram_jaccard_adjacent(_docs(spark, sf_dir), n=5)
+
+
+def _q_simhash(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.simhash import simhash_documents
+
+    return simhash_documents(_docs(spark, sf_dir))
+
+
+def _q_simhash_dupe_pairs(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.simhash import simhash_candidate_pairs
+
+    out = simhash_candidate_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.embedding_ann import brute_force_topk
+
+    out = brute_force_topk(_emb(spark, sf_dir), query_ids=range(20), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.embedding_ann import lsh_topk
+
+    out = lsh_topk(_emb(spark, sf_dir), query_ids=range(20), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_binary_features(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.multimodal import binary_features, with_binary_payload
+
+    df = with_binary_payload(_docs(spark, sf_dir))
+    return binary_features(df).select("doc_id", "n_bytes", "md5_hex")
+
+
+def _q_binary_decode_stub(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.multimodal import binary_features, with_binary_payload
+
+    df = with_binary_payload(_docs(spark, sf_dir))
+    return binary_features(df).select(
+        "doc_id",
+        F.col("fake_width").cast("long").alias("fake_width"),
+        F.col("fake_height").cast("long").alias("fake_height"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # the near-dedupe pipeline chain (SURVEY.md §2: S/T/B/J/C/O operators)
+        "lsh_signatures": _q_lsh_signatures,
+        "lsh_bands": _q_lsh_bands,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "lsh_dupe_edges": _q_lsh_dupe_edges,
+        "lsh_clusters": _q_lsh_clusters,
+        "lsh_dedupe_kept": _q_lsh_dedupe_kept,
+        # training-data ops
+        "exact_dedupe": _q_exact_dedupe,
+        "exact_dupe_groups": _q_exact_dupe_groups,
+        "doc_stats": _q_doc_stats,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "token_histogram": _q_token_histogram,
+        "language_id": _q_language_id,
+        "ngram_jaccard_adjacent": _q_ngram_jaccard_adjacent,
+        "simhash": _q_simhash,
+        "simhash_dupe_pairs": _q_simhash_dupe_pairs,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "binary_features": _q_binary_features,
+        "binary_decode_stub": _q_binary_decode_stub,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (SQL-expressible queries only)
+# ---------------------------------------------------------------------------
+
+_TOKS = f"list_filter(string_split_regex(lower(text), '{_SPLIT}'), x -> x != '')"
+
+_LANG_SCORES = ", ".join(
+    f"len(list_intersect(list_distinct({_TOKS}), "
+    f"[{', '.join(repr(s) for s in STOPWORDS[lang])}])) AS s_{lang}"
+    for lang in ("de", "en", "es", "fr")
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedupe": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "exact_dupe_groups": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_actual,
+                   len({_TOKS}) AS n_words,
+                   len(list_distinct({_TOKS})) AS n_distinct_words,
+                   round(CASE WHEN len({_TOKS}) > 0
+                         THEN list_sum(list_transform({_TOKS}, x -> length(x))) * 1.0 / len({_TOKS})
+                         ELSE 0.0 END, 4) AS avg_word_len
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   round(CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0 / length(text)
+                     ELSE 0.0 END, 6) AS alpha_ratio,
+                   round(CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+                     ELSE 0.0 END, 6) AS digit_ratio,
+                   round(CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(replace(text, ' ', ''))) * 1.0 / length(text)
+                     ELSE 0.0 END, 6) AS space_ratio,
+                   round(CASE WHEN length(text) > 0 THEN
+                     ((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+                      + (length(text) - length(replace(text, ' ', '')))) * 1.0 / length(text)
+                     - 0.5 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)
+                     ELSE 0.0 END, 6) AS quality
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "token_histogram": f"""
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token HAVING count(*) >= 100
+        """,
+        "language_id": f"""
+            WITH scored AS (SELECT doc_id, {_LANG_SCORES} FROM documents),
+            best AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+                            greatest(s_de, s_en, s_es, s_fr) AS b FROM scored)
+            SELECT doc_id,
+                   CASE WHEN b = 0 THEN 'und'
+                        WHEN s_de = b THEN 'de'
+                        WHEN s_en = b THEN 'en'
+                        WHEN s_es = b THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   round(b / 10.0, 4) AS lang_score
+            FROM best
+        """,
+        "ngram_jaccard_adjacent": f"""
+            WITH grams AS (
+              SELECT doc_id AS a,
+                     list_distinct(CASE WHEN len({_TOKS}) >= 5
+                       THEN list_transform(range(1, len({_TOKS}) - 3),
+                            i -> array_to_string(({_TOKS})[i:i+4], ' '))
+                       ELSE [] END) AS g
+              FROM documents)
+            SELECT l.a AS a, l.a + 1 AS b,
+                   round(CASE WHEN len(l.g) + len(r.g) - len(list_intersect(l.g, r.g)) > 0
+                         THEN len(list_intersect(l.g, r.g)) * 1.0
+                              / (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g)))
+                         ELSE 0.0 END, 6) AS jaccard
+            FROM grams l JOIN grams r ON r.a = l.a + 1
+        """,
+        "ann_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding, b.embedding), 6) AS cosine
+              FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
+              WHERE q.vec_id < 20)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "binary_features": """
+            SELECT doc_id,
+                   octet_length(encode(coalesce(text, ''))) AS n_bytes,
+                   md5(coalesce(text, '')) AS md5_hex
+            FROM documents
+        """,
+    }

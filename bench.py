@@ -1,0 +1,73 @@
+"""Bench harness (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set: the full near-dedupe pipeline (sketch → LSH → pairs → Jaccard
+→ CC → resolve) plus the heavy standalone operators. Each timing is
+action-to-completion (count/collect) on a warm session; Spark/JVM startup is
+excluded (north_rule measures pipeline throughput, not cold start).
+
+The two-parallelism scaling run (north_rule's stand-in for N vs 4N
+executors) lives in bench_scaling.py and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from cpp_near_dedupe_spark.session import build_session
+    from cpp_near_dedupe_spark.config import DedupeConfig
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(app_name="bench", master=f"local[{cpus}]")
+    # warm the JVM + python workers once so per-query numbers are steady
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    cfg = DedupeConfig()
+    queries = entry_mod.queries()
+    headline = [
+        "lsh_clusters",        # full pipeline end-to-end
+        "lsh_candidate_pairs",
+        "exact_dedupe",
+        "simhash_dupe_pairs",
+        "ngram_jaccard_adjacent",
+        "doc_stats",
+        "token_histogram",
+        "language_id",
+        "ann_topk",
+        "ann_lsh_topk",
+        "binary_features",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "docs": n_docs,
+        "pipeline_docs_per_sec": round(n_docs / max(timings["lsh_clusters"], 1e-9), 1),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""Word n-gram operators, entirely JVM-side (no UDFs).
+
+``word_ngrams`` builds the n-gram array with ``transform(sequence(...))`` +
+``slice`` — Spark has no built-in ngrams function, but the composition
+whole-stage-codegens. ``ngram_jaccard_adjacent`` computes exact n-gram-set
+Jaccard between consecutive doc ids: a linear-size, SQL-expressible probe of
+the same tokenize→shingle→Jaccard semantic chain the sketch pipeline uses
+(with the plain regex tokenizer; the sketch pipeline uses the reference's
+exact classification table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import words_col
+
+
+def word_ngrams(n: int, text_col: str = "text"):
+    """Column expression: array of space-joined word n-grams."""
+    w = words_col(text_col)
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
+    return F.when(
+        F.size(w) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_adjacent(
+    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Jaccard of distinct n-gram sets between each doc and the next id.
+
+    (a, b, jaccard) — deterministic linear pair set; rounded to 6 dp for
+    cross-engine comparability.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("a"),
+        F.array_distinct(word_ngrams(n, text_col)).alias("grams_a"),
+    )
+    right = grams.select(
+        (F.col("a") - F.lit(1)).alias("a"),
+        F.col("grams_a").alias("grams_b"),
+    )
+    joined = grams.join(right, "a").select(
+        "a",
+        (F.col("a") + F.lit(1)).alias("b"),
+        F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+        F.size("grams_a").alias("na"),
+        F.size("grams_b").alias("nb"),
+    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return joined.select(
+        "a",
+        "b",
+        F.round(
+            F.when(union > 0, F.col("inter") / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    )
+
+
+def ngram_dupe_pairs_adjacent(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    return ngram_jaccard_adjacent(docs, n, id_col, text_col).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )

@@ -1,0 +1,132 @@
+"""SimHash near-duplicate detection (Charikar 2002; Manku et al., WWW 2007).
+
+A complementary near-dup signal to the MinHash pipeline: each doc gets a
+64-bit fingerprint — bit b is the sign of Σ(±1 over tokens, + if the
+token's XXH64 has bit b set, weighted by token frequency). Similar docs
+have small Hamming distance. Candidate generation: split the fingerprint
+into 4 × 16-bit bands (Manku's trick: Hamming ≤ 3 ⇒ some band equal) and
+self-join on band equality — the same blocking shape as the MinHash
+pipeline, so skew handling and scale behavior carry over.
+
+The fingerprint is computed in a vectorized Arrow pass (tokenize with the
+same reference table as the sketch kernel; token hashing and bit counting
+are numpy matrix ops). Distinct-token weighting uses term frequency.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simhash_batch(texts, seed: int = 0) -> np.ndarray:
+    """(m,) uint64 simhash fingerprints; 0 for docs with no tokens."""
+    from ..functions.alphanum import ALPHANUM
+    from ..functions.xxh64 import xxh64_rows
+
+    m = len(texts)
+    out = np.zeros(m, dtype=np.uint64)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        codes = np.frombuffer(text.encode("utf-16-le", "surrogatepass"), dtype="<u2")
+        mask = ALPHANUM[codes]
+        if not mask.any():
+            continue
+        m8 = mask.astype(np.int8)
+        d = np.diff(m8)
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if mask[0]:
+            starts = np.concatenate(([0], starts))
+        if mask[-1]:
+            ends = np.concatenate((ends, [codes.size]))
+        lens = ends - starts
+        # hash words grouped by length (same trick as the sketch kernel)
+        hashes = np.empty(starts.size, dtype=np.uint64)
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            mat = codes[starts[idx][:, None] + np.arange(L)]
+            hashes[idx] = xxh64_rows(
+                np.ascontiguousarray(mat).view(np.uint8).reshape(idx.size, 2 * L), seed
+            )
+        # weighted bit vote: +tf for set bits, -tf for clear bits
+        uniq, tf = np.unique(hashes, return_counts=True)
+        bits = np.unpackbits(
+            uniq.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        votes = (tf[:, None] * (2 * bits - 1)).sum(axis=0)
+        sign = votes > 0
+        out[i] = np.packbits(sign, bitorder="little").view(np.uint64)[0]
+    return out
+
+
+def simhash_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 0
+) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "simhash": simhash_batch(pdf[text_col].tolist(), seed).view(np.int64),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_bands(sims: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode the 64-bit fingerprint into 4 × 16-bit band keys."""
+    pieces = [
+        sims.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("band_key"),
+        )
+        for b in range(4)
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance <= max_hamming, found via
+    band blocking + exact popcount verification (bit_count is JVM-side)."""
+    sims = simhash_documents(docs, id_col, text_col)
+    bands = simhash_bands(sims, id_col)
+    left = bands.select("band_id", "band_key", F.col(id_col).alias("a"))
+    right = bands.select("band_id", "band_key", F.col(id_col).alias("b"))
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sims.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"))
+    sb = sims.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )

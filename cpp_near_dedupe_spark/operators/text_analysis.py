@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+All of these stay JVM-side (built-in ``pyspark.sql.functions`` only — no
+Python in the hot path), so they whole-stage-codegen and push projections
+into the scan. Each has an exact ANSI-SQL oracle (see __spark_entry__.py).
+
+Ops: whitespace/word token counts, quality scoring (character-class
+ratios), document fingerprinting (normalized-text hash), token histogram,
+stopword-ratio language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lists for the language-ID heuristic; deliberately
+# short so the SQL oracle can inline them
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "dans", "pour", "une"],
+    "es": ["el", "la", "que", "de", "los", "se", "por", "con", "una", "para"],
+}
+
+_WORD_SPLIT = "[^a-z0-9]+"
+
+
+def words_col(text_col: str = "text"):
+    """Lower-cased word array, empties removed (shared tokenizer for the
+    analysis ops; the dedupe sketch uses the exact reference tokenizer —
+    functions/alphanum.py — these analytics ops use a plain regex one)."""
+    return F.array_remove(F.split(F.lower(F.col(text_col)), _WORD_SPLIT), "")
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars_actual, n_words, n_distinct_words, avg_word_len)."""
+    w = words_col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.round(
+            F.when(F.size(w) > 0, F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x) / F.size(w)).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Character-class ratios + composite quality score (rounded for
+    engine-independent comparability)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    alpha = n - F.length(F.regexp_replace(t, "[a-zA-Z]", ""))
+    digit = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    space = n - F.length(F.regexp_replace(t, " ", ""))
+    safe_n = F.when(n > 0, n.cast("double")).otherwise(F.lit(None))
+    return docs.select(
+        F.col(id_col),
+        F.round(F.coalesce(alpha / safe_n, F.lit(0.0)), 6).alias("alpha_ratio"),
+        F.round(F.coalesce(digit / safe_n, F.lit(0.0)), 6).alias("digit_ratio"),
+        F.round(F.coalesce(space / safe_n, F.lit(0.0)), 6).alias("space_ratio"),
+        F.round(
+            F.coalesce(
+                (alpha + space) / safe_n - F.lit(0.5) * digit / safe_n, F.lit(0.0)
+            ),
+            6,
+        ).alias("quality"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercase, whitespace-collapsed
+    text. Groups docs that differ only in case/whitespace."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def token_histogram(
+    docs: DataFrame, text_col: str = "text", min_count: int = 100
+) -> DataFrame:
+    """Corpus-wide token counts (tokens with count >= min_count — a
+    threshold, not a LIMIT, so the result set is deterministic)."""
+    return (
+        docs.select(F.explode(words_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: for each language, the fraction of its
+    stopword list present in the doc's distinct words; argmax wins, ties
+    broken by language code, all-zero scores -> 'und' (undetermined).
+    JVM-side only: array_intersect against literal arrays."""
+    w = F.array_distinct(words_col(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # iterate in reverse-sorted order so earlier-alphabet languages win ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return docs.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        F.round(best_score / F.lit(10.0), 4).alias("lang_score"),
+    )
