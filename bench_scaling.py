@@ -1,0 +1,155 @@
+"""Two-parallelism scaling bench (north_rule evidence).
+
+The rule's "N vs 4N executor clusters" criterion cannot use a real cluster
+in this sandbox, so we run the identical pipeline on the identical input at
+local[8] and local[32] (fresh subprocess each, so the JVM thread pool is
+really resized) and report docs/sec at both plus scaling efficiency
+(throughput_32 / throughput_8) / 4. Spark/JVM startup is excluded — the
+pipeline driver times from first action to last write.
+
+Also measures pairwise F1 at matched band keys on a 5k labeled corpus
+(the oracle is driver-side Python; 200k-doc oracle would take minutes,
+and F1 is scale-invariant for this generator).
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python3 bench_scaling.py [--n-docs 200000] [--skip-f1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+
+def ensure_corpus(n_docs: int, seed: int = 42) -> str:
+    path = f"/tmp/spark_graft_bench/pages_{n_docs}_{seed}.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    from cpp_near_dedupe_spark.sources.datagen import generate_pages
+
+    pdf = generate_pages(n_docs, seed=seed)
+    # small row groups: a single-row-group file is unsplittable, which would
+    # serialize the scan (and everything downstream of it) onto one task
+    pdf[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
+        path, row_group_size=1000
+    )
+    return path
+
+
+def run_level(corpus: str, cpus: int, out_dir: str) -> dict:
+    cmd = [
+        sys.executable,
+        "-m",
+        "cpp_near_dedupe_spark.plans.run_pipeline",
+        "--input", corpus,
+        "--output", out_dir,
+        "--master", f"local[{cpus}]",
+        "--order-col", "warc_ts",
+        "--id-col", "doc_id",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(f"local[{cpus}] run failed:\n{proc.stderr[-4000:]}")
+    line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
+    return json.loads(line)
+
+
+def measure_f1(n_docs: int = 5000) -> dict:
+    from cpp_near_dedupe_spark.session import build_session
+    from cpp_near_dedupe_spark.config import DedupeConfig
+    from cpp_near_dedupe_spark.sources.datagen import generate_pages
+    from cpp_near_dedupe_spark.sources.pages import with_doc_id
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+    from cpp_near_dedupe_spark.plans.quality import oracle_labeled_pairs, pairwise_f1
+
+    cfg = DedupeConfig(id_col="doc_id", text_col="text", order_col="warc_ts")
+    pdf = generate_pages(n_docs, seed=42)
+    spark = build_session(app_name="bench-f1", master="local[32]")
+    docs = with_doc_id(
+        spark.createDataFrame(pdf[["url", "warc_ts", "html", "text", "lang"]]), cfg
+    )
+    res = run_pipeline(spark, docs, cfg)
+    resolved = res.resolved.toPandas().merge(
+        docs.select("url", "doc_id").toPandas(), on="doc_id"
+    )
+    url_cluster = dict(zip(resolved.url, resolved.cluster_id))
+    urls = pdf.url.tolist()
+    pairs, jac, _ = oracle_labeled_pairs(pdf.text.tolist(), cfg.threshold)
+    stats = pairwise_f1(
+        pairs, jac, lambda i, j: url_cluster[urls[i]] == url_cluster[urls[j]], cfg.threshold
+    )
+    spark.stop()
+    return {
+        "f1": round(stats.f1, 4),
+        "precision": round(stats.precision, 4),
+        "recall": round(stats.recall, 4),
+        "labeled_pairs": stats.n_labeled_pairs,
+        "corpus_docs": n_docs,
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-docs", type=int, default=200_000)
+    p.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    p.add_argument("--skip-f1", action="store_true")
+    args = p.parse_args()
+
+    corpus = ensure_corpus(args.n_docs)
+    lo, hi = args.levels
+    r_lo = run_level(corpus, lo, f"/tmp/spark_graft_bench/out_{lo}")
+    r_hi = run_level(corpus, hi, f"/tmp/spark_graft_bench/out_{hi}")
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    f1 = None if args.skip_f1 else measure_f1()
+
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_docs": args.n_docs,
+        "levels": {
+            f"local[{lo}]": {"docs_per_sec": r_lo["docs_per_sec"], "pipeline_wall_sec": r_lo["pipeline_wall_sec"]},
+            f"local[{hi}]": {"docs_per_sec": r_hi["docs_per_sec"], "pipeline_wall_sec": r_hi["pipeline_wall_sec"]},
+        },
+        "f1": f1,
+        "git_sha": sha,
+    }
+    print(json.dumps(result))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — measured baseline (git {sha})
+
+Pipeline: sketch → LSH bands → candidate pairs → Jaccard → connected
+components → resolve, on the synthetic labeled pages corpus
+({args.n_docs:,} docs, ~30% duplicate mass, hot-band cluster included;
+FIXTURES.md §5). Identical input at both parallelism levels; Spark/JVM
+startup excluded. local[{lo}] vs local[{hi}] is the sandbox stand-in for
+N vs 4N executor clusters (driver instruction).
+
+| metric | value |
+|---|---|
+| docs/sec @ local[{lo}] | {r_lo['docs_per_sec']} ({r_lo["pipeline_wall_sec"]} s wall) |
+| docs/sec @ local[{hi}] | {r_hi['docs_per_sec']} ({r_hi["pipeline_wall_sec"]} s wall) |
+| scaling efficiency (throughput_{hi}/throughput_{lo})/{hi // lo} | **{eff:.3f}** (target >= 0.8) |
+| duplicates removed | {r_lo['duplicates_removed']:,} of {r_lo['input_rows']:,} |
+| pairwise F1 at matched band keys (5k labeled corpus) | {f1['f1'] if f1 else 'n/a'} (P={f1['precision'] if f1 else '-'}, R={f1['recall'] if f1 else '-'}, {f1['labeled_pairs'] if f1 else '-'} pairs; target >= 0.99) |
+
+Reference (SirWaffle/cpp-near-dedupe) publishes no benchmark numbers
+(BASELINE.md); targets come from BASELINE.json.
+"""
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,7 +30,11 @@ class DedupeConfig:
     # scale knobs
     shuffle_partitions: int = 32
     max_records_per_batch: int = 2048   # Arrow batch size for the sketch UDF
-    hot_band_cap: int = 2000            # bucket size above which a band key is salted/capped
+    # bucket size above which pair generation switches from exact all-pairs
+    # to capped all-pairs + star (see operators/pairs.py). 256 bounds a hot
+    # bucket at ~32k scored pairs; recall is protected by the 64-band
+    # redundancy (a true near-dup pair collides in many buckets)
+    hot_band_cap: int = 256
     salt_buckets: int = 16              # sub-buckets for salted hot keys
     cc_max_iterations: int = 20         # large-star/small-star safety bound
 

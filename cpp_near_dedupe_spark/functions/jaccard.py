@@ -46,15 +46,26 @@ def jaccard_batch(sigs_a: list[np.ndarray], sigs_b: list[np.ndarray]) -> np.ndar
     nonzero = np.flatnonzero((la > 0) & (lb > 0))
     if nonzero.size == 0:
         return out
+    from .xxh64 import _SCRATCH
+
     order = nonzero[np.argsort(total[nonzero], kind="stable")]
     bounds = np.flatnonzero(np.diff(total[order])) + 1
-    for idx in np.split(order, bounds):
-        L = int(total[idx[0]])
-        mat = np.empty((idx.size, L), dtype=np.uint64)
-        for r, i in enumerate(idx):
-            mat[r, : la[i]] = sigs_a[i]
-            mat[r, la[i] :] = sigs_b[i]
-        mat.sort(axis=1)
-        ninter = (mat[:, 1:] == mat[:, :-1]).sum(axis=1)
-        out[idx] = ninter / (total[idx] - ninter)
+    max_chunk = 1 << 16
+    for idx0 in np.split(order, bounds):
+        L = int(total[idx0[0]])
+        for off in range(0, idx0.size, max_chunk):
+            idx = idx0[off : off + max_chunk]
+            mat = _SCRATCH.get("jac_mat", idx.size * L)[: idx.size * L].reshape(
+                idx.size, L
+            )
+            for r, i in enumerate(idx):
+                mat[r, : la[i]] = sigs_a[i]
+                mat[r, la[i] :] = sigs_b[i]
+            mat.sort(axis=1)
+            eq = _SCRATCH.get("jac_eq", idx.size * (L - 1), np.bool_)[
+                : idx.size * (L - 1)
+            ].reshape(idx.size, L - 1)
+            np.equal(mat[:, 1:], mat[:, :-1], out=eq)
+            ninter = eq.sum(axis=1)
+            out[idx] = ninter / (total[idx] - ninter)
     return out

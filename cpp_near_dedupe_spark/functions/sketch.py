@@ -190,15 +190,19 @@ def sketch_batch(
     if n_windows == 0:
         return [_EMPTY_U64 for _ in doc_tokens]
 
+    from .xxh64 import _SCRATCH
+
     tok_offsets = np.zeros(len(doc_tokens) + 1, dtype=np.int64)
     np.cumsum([t.size for t in doc_tokens], out=tok_offsets[1:])
-    all_tokens = (
-        np.concatenate(doc_tokens) if tok_offsets[-1] else np.empty(0, dtype="<u2")
-    )
+    n_tok = int(tok_offsets[-1])
+    all_tokens = _SCRATCH.get("sk_all_tok", max(n_tok, 1), np.uint16)[:n_tok]
+    for di, t in enumerate(doc_tokens):
+        if t.size:
+            all_tokens[tok_offsets[di] : tok_offsets[di + 1]] = t
 
-    g_start = np.empty(n_windows, dtype=np.int64)
-    g_len = np.empty(n_windows, dtype=np.int64)
-    g_doc = np.empty(n_windows, dtype=np.int64)
+    g_start = _SCRATCH.get("sk_gstart", n_windows, np.int64)
+    g_len = _SCRATCH.get("sk_glen", n_windows, np.int64)
+    g_doc = _SCRATCH.get("sk_gdoc", n_windows, np.int64)
     pos = 0
     for di, (ws, wl) in enumerate(zip(doc_wstart, doc_wlen)):
         if ws is None:
@@ -209,18 +213,27 @@ def sketch_batch(
         g_doc[pos : pos + cnt] = di
         pos += cnt
 
-    g_hash = np.empty(n_windows, dtype=np.uint64)
+    g_hash = _SCRATCH.get("sk_ghash", n_windows, np.uint64)
     order = np.argsort(g_len, kind="stable")
     sorted_len = g_len[order]
     # group boundaries over the sorted length array
     bounds = np.flatnonzero(np.diff(sorted_len)) + 1
     group_slices = np.split(order, bounds)
+    # gather windows into reused scratch (fresh allocations fault-storm on
+    # ballooned VMs — see functions/xxh64.py _Scratch) and bound chunk size
+    from .xxh64 import _SCRATCH
+
+    max_chunk = 1 << 17
     for idx in group_slices:
         L = int(g_len[idx[0]])
-        mat = all_tokens[g_start[idx][:, None] + np.arange(L)]
-        g_hash[idx] = xxh64_rows(
-            np.ascontiguousarray(mat).view(np.uint8).reshape(idx.size, 2 * L), seed
-        )
+        for off in range(0, idx.size, max_chunk):
+            sub = idx[off : off + max_chunk]
+            mm = sub.size
+            idxbuf = _SCRATCH.get("sk_idx", mm * L, np.int64)[: mm * L].reshape(mm, L)
+            np.add(g_start[sub][:, None], np.arange(L)[None, :], out=idxbuf)
+            tokbuf = _SCRATCH.get("sk_tok", mm * L, np.uint16)[: mm * L].reshape(mm, L)
+            np.take(all_tokens, idxbuf, out=tokbuf)
+            g_hash[sub] = xxh64_rows(tokbuf.view(np.uint8).reshape(mm, 2 * L), seed)
 
     # Phase 3: per-doc distinct + bottom-N (np.unique sorts ascending).
     out: list[np.ndarray] = []

@@ -83,55 +83,129 @@ def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
     return (x << _U(r)) | (x >> _U(64 - r))
 
 
+class _Scratch:
+    """Grow-only reusable uint64 work buffers.
+
+    This process's VM charges ~50-70µs per minor page fault (ballooned /
+    userfault-backed memory), so allocating fresh numpy temporaries per
+    call dominates the kernels' runtime and — worse — serializes all
+    Spark workers in the kernel's mm layer. Buffers are allocated once per
+    worker process and reused; Python workers are single-threaded, so no
+    locking is needed.
+    """
+
+    def __init__(self):
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def get(self, name: str, size: int, dtype=_U) -> np.ndarray:
+        buf = self._bufs.get(name)
+        if buf is None or buf.size < size or buf.dtype != dtype:
+            cap = max(size, 1 << 14)
+            if buf is not None and buf.dtype == dtype:
+                cap = max(cap, buf.size * 2)
+            buf = np.empty(cap, dtype=dtype)
+            self._bufs[name] = buf
+        return buf[:size]
+
+
+_SCRATCH = _Scratch()
+
+
+def _rotl_ip(x: np.ndarray, r: int, tmp: np.ndarray) -> None:
+    """x = rotl(x, r) in place, using tmp as scratch."""
+    np.right_shift(x, _U(64 - r), out=tmp)
+    np.left_shift(x, _U(r), out=x)
+    np.bitwise_or(x, tmp, out=x)
+
+
 def xxh64_rows(data: np.ndarray, seed: int = 0) -> np.ndarray:
     """Vectorized XXH64 over the rows of a 2-D uint8 array.
 
     ``data`` is ``(m, B)`` uint8 — m independent messages, each exactly B
     bytes. Returns ``(m,)`` uint64 of XXH64(row, seed). All arithmetic is
-    wrap-around uint64 (numpy semantics match the spec's mod-2^64 math).
+    wrap-around uint64 (numpy semantics match the spec's mod-2^64 math);
+    all hot-loop operations run in place over reused scratch buffers.
+    The returned array is freshly allocated (callers keep it).
     """
     if data.ndim != 2 or data.dtype != np.uint8:
         raise ValueError("xxh64_rows expects a (m, B) uint8 array")
     m, n = data.shape
     useed = _U(seed & _M64)
+    tmp = _SCRATCH.get("tmp", m)
+    lane_buf = _SCRATCH.get("lane", m)
+    h = np.empty(m, dtype=_U)  # result: fresh allocation
     with np.errstate(over="ignore"):
         p = 0
         if n >= 32:
             nstripes = n // 32
             body = np.ascontiguousarray(data[:, : nstripes * 32])
             lanes = body.view("<u8").reshape(m, nstripes, 4)
-            acc = [
-                np.full(m, useed + _uP1 + _uP2, dtype=_U),
-                np.full(m, useed + _uP2, dtype=_U),
-                np.full(m, useed, dtype=_U),
-                np.full(m, useed - _uP1, dtype=_U),
-            ]
+            acc = [_SCRATCH.get(f"acc{i}", m) for i in range(4)]
+            acc[0][:] = useed + _uP1 + _uP2
+            acc[1][:] = useed + _uP2
+            acc[2][:] = useed
+            acc[3][:] = useed - _uP1
             for s in range(nstripes):
                 for i in range(4):
-                    acc[i] = _vrotl(acc[i] + lanes[:, s, i] * _uP2, 31) * _uP1
-            h = _vrotl(acc[0], 1) + _vrotl(acc[1], 7) + _vrotl(acc[2], 12) + _vrotl(acc[3], 18)
+                    np.multiply(lanes[:, s, i], _uP2, out=lane_buf)
+                    np.add(acc[i], lane_buf, out=acc[i])
+                    _rotl_ip(acc[i], 31, tmp)
+                    np.multiply(acc[i], _uP1, out=acc[i])
+            # h = rotl(a0,1)+rotl(a1,7)+rotl(a2,12)+rotl(a3,18) without
+            # mutating acc (still needed for the merge rounds)
+            np.left_shift(acc[0], _U(1), out=h)
+            np.right_shift(acc[0], _U(63), out=tmp)
+            np.bitwise_or(h, tmp, out=h)
+            for a, r in ((acc[1], 7), (acc[2], 12), (acc[3], 18)):
+                np.left_shift(a, _U(r), out=lane_buf)
+                np.right_shift(a, _U(64 - r), out=tmp)
+                np.bitwise_or(lane_buf, tmp, out=lane_buf)
+                np.add(h, lane_buf, out=h)
             for i in range(4):
-                h = (h ^ (_vrotl(acc[i] * _uP2, 31) * _uP1)) * _uP1 + _uP4
+                np.multiply(acc[i], _uP2, out=lane_buf)
+                _rotl_ip(lane_buf, 31, tmp)
+                np.multiply(lane_buf, _uP1, out=lane_buf)
+                np.bitwise_xor(h, lane_buf, out=h)
+                np.multiply(h, _uP1, out=h)
+                np.add(h, _uP4, out=h)
             p = nstripes * 32
         else:
-            h = np.full(m, useed + _uP5, dtype=_U)
-        h = h + _U(n)
+            h[:] = useed + _uP5
+        np.add(h, _U(n), out=h)
         while n - p >= 8:
-            lane = np.ascontiguousarray(data[:, p : p + 8]).view("<u8")[:, 0]
-            h = _vrotl(h ^ (_vrotl(lane * _uP2, 31) * _uP1), 27) * _uP1 + _uP4
+            lane8 = np.ascontiguousarray(data[:, p : p + 8]).view("<u8")[:, 0]
+            np.multiply(lane8, _uP2, out=lane_buf)
+            _rotl_ip(lane_buf, 31, tmp)
+            np.multiply(lane_buf, _uP1, out=lane_buf)
+            np.bitwise_xor(h, lane_buf, out=h)
+            _rotl_ip(h, 27, tmp)
+            np.multiply(h, _uP1, out=h)
+            np.add(h, _uP4, out=h)
             p += 8
         if n - p >= 4:
-            lane = np.ascontiguousarray(data[:, p : p + 4]).view("<u4")[:, 0].astype(_U)
-            h = _vrotl(h ^ (lane * _uP1), 23) * _uP2 + _uP3
+            lane4 = np.ascontiguousarray(data[:, p : p + 4]).view("<u4")[:, 0]
+            lane_buf[:] = lane4  # widen u32 -> u64 into scratch
+            np.multiply(lane_buf, _uP1, out=lane_buf)
+            np.bitwise_xor(h, lane_buf, out=h)
+            _rotl_ip(h, 23, tmp)
+            np.multiply(h, _uP2, out=h)
+            np.add(h, _uP3, out=h)
             p += 4
         while p < n:
-            h = _vrotl(h ^ (data[:, p].astype(_U) * _uP5), 11) * _uP1
+            lane_buf[:] = data[:, p]
+            np.multiply(lane_buf, _uP5, out=lane_buf)
+            np.bitwise_xor(h, lane_buf, out=h)
+            _rotl_ip(h, 11, tmp)
+            np.multiply(h, _uP1, out=h)
             p += 1
-        h ^= h >> _U(33)
-        h *= _uP2
-        h ^= h >> _U(29)
-        h *= _uP3
-        h ^= h >> _U(32)
+        np.right_shift(h, _U(33), out=tmp)
+        np.bitwise_xor(h, tmp, out=h)
+        np.multiply(h, _uP2, out=h)
+        np.right_shift(h, _U(29), out=tmp)
+        np.bitwise_xor(h, tmp, out=h)
+        np.multiply(h, _uP3, out=h)
+        np.right_shift(h, _U(32), out=tmp)
+        np.bitwise_xor(h, tmp, out=h)
     return h
 
 

@@ -75,27 +75,35 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(
-    edges: DataFrame, max_iterations: int = 20, use_local_checkpoint: bool = True
-) -> DataFrame:
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Undirected edges (a, b) → (id, cluster_id) for every node appearing
     in an edge. cluster_id = minimum node id of the component. Nodes not in
     any edge are singletons and are absent (callers treat missing as
-    cluster_id = own id)."""
-    cur = _canonicalize(edges)
-    if use_local_checkpoint:
-        cur = cur.localCheckpoint(eager=True)
+    cluster_id = own id).
+
+    Every iteration ends in an eager localCheckpoint: each star step
+    references its input 3-4 times, so an untruncated logical plan grows
+    exponentially (~4^rounds relation copies) and OOMs the driver during
+    analysis long before execution — plan truncation here is correctness,
+    not tuning. (On a cluster, substitute reliable checkpoints or per-round
+    table writes for executor-loss tolerance.)
+    """
+    # lazy localCheckpoint + immediate checksum action = ONE Spark job per
+    # iteration that both materializes the checkpoint (truncating the
+    # logical plan before the next round is built on it) and tests
+    # convergence.
+    cur = _canonicalize(edges).localCheckpoint(eager=False)
     prev_sum = _checksum(cur)
+    converged = False
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(cur))
-        if use_local_checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         cur_sum = _checksum(nxt)
         cur = nxt
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"
         )

@@ -34,36 +34,51 @@ from ..config import DedupeConfig
 
 
 def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """(id, band_id, band_key) → distinct (a, b) with a < b."""
+    """(id, band_id, band_key) → distinct (a, b) with a < b.
+
+    Physical shape: bucket sizes come from a hash aggregation (map-side
+    combine, no sort); only rows of over-cap buckets — found with a
+    broadcast semi/anti-join against the (tiny) hot-key list — pay for a
+    window sort. The cold path is a plain self-equi-join that AQE's
+    skew-join splitting handles. A naive global row_number window would
+    sort the entire bands table; at 10^12 docs that sort IS the job.
+    """
     id_col = cfg.id_col
     cap = cfg.hot_band_cap
+    keys = ["band_id", "band_key"]
 
-    w = Window.partitionBy("band_id", "band_key").orderBy(F.col(id_col))
-    ranked = bands.withColumn("rn", F.row_number().over(w))
+    sizes = bands.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
+    hot_keys = sizes.filter(F.col("bucket_size") > cap).select(*keys)
 
-    head = ranked.filter(F.col("rn") <= cap).select("band_id", "band_key", id_col, "rn")
-    left = head.select(
-        "band_id", "band_key", F.col(id_col).alias("a"), F.col("rn").alias("rn_a")
-    )
-    right = head.select(
-        "band_id", "band_key", F.col(id_col).alias("b"), F.col("rn").alias("rn_b")
-    )
-    pairs_head = (
-        left.join(right, ["band_id", "band_key"])
-        .filter(F.col("rn_a") < F.col("rn_b"))
+    cold = bands.join(F.broadcast(hot_keys), keys, "left_anti")
+    cold_pairs = (
+        cold.select(*keys, F.col(id_col).alias("a"))
+        .join(cold.select(*keys, F.col(id_col).alias("b")), keys)
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
 
-    # star edges for overflow docs in hot buckets
-    centers = ranked.filter(F.col("rn") == 1).select(
-        "band_id", "band_key", F.col(id_col).alias("a")
+    hot = bands.join(F.broadcast(hot_keys), keys, "left_semi")
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
+    ranked = hot.withColumn("rn", F.row_number().over(w))
+    head = ranked.filter(F.col("rn") <= cap)
+    hot_pairs = (
+        head.select(*keys, F.col(id_col).alias("a"), F.col("rn").alias("rn_a"))
+        .join(
+            head.select(*keys, F.col(id_col).alias("b"), F.col("rn").alias("rn_b")),
+            keys,
+        )
+        .filter(F.col("rn_a") < F.col("rn_b"))
+        .select("a", "b")
     )
-    overflow = ranked.filter(F.col("rn") > cap).select(
-        "band_id", "band_key", F.col(id_col).alias("b")
-    )
-    pairs_star = overflow.join(centers, ["band_id", "band_key"]).select("a", "b")
+    # star edges keep over-cap buckets connected at O(h) cost
+    centers = ranked.filter(F.col("rn") == 1).select(*keys, F.col(id_col).alias("a"))
+    overflow = ranked.filter(F.col("rn") > cap).select(*keys, F.col(id_col).alias("b"))
+    pairs_star = overflow.join(centers, keys).select("a", "b")
 
-    return pairs_head.unionByName(pairs_star).dropDuplicates(["a", "b"])
+    return cold_pairs.unionByName(hot_pairs).unionByName(pairs_star).dropDuplicates(
+        ["a", "b"]
+    )
 
 
 def hot_bucket_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:

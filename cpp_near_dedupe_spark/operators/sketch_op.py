@@ -43,6 +43,15 @@ def sketch_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    projected = df.select(id_col, text_col)
+    # The scan often yields far fewer partitions than cores (one big parquet
+    # file ~= 1-2 splits): redistribute the 2-column projection so the
+    # CPU-heavy sketch kernel uses the whole cluster. Shuffling (id, text)
+    # is cheap relative to sketching it; round-robin balances variable doc
+    # lengths better than hash-of-id.
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if projected.rdd.getNumPartitions() < target:
+        projected = projected.repartition(target)
+    return projected.mapInPandas(
         run, schema=f"{id_col} long, sig_len int, signature array<long>"
     )

@@ -71,25 +71,34 @@ class CheckpointStore:
         return self.spark.read.parquet(self.path(stage))
 
     def write(self, stage: str, df: DataFrame, fingerprint: str) -> DataFrame:
+        t0 = time.time()
         df.write.mode("overwrite").parquet(self.path(stage))
         out = self.spark.read.parquet(self.path(stage))
+        rows = self.append_metrics(stage, out)  # one job: lineage + total
         m = self._manifest()
         m[stage] = {
             "fingerprint": fingerprint,
-            "rows": out.count(),
+            "rows": rows,
+            "wall_sec": round(time.time() - t0, 2),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._save_manifest(m)
         return out
 
-    def append_metrics(self, stage: str, df: DataFrame) -> None:
-        """Per-partition row counters for the stage output (lineage)."""
+    def append_metrics(self, stage: str, df: DataFrame) -> int:
+        """Per-partition row counters for the stage output (lineage).
+        Returns the total row count (so callers don't need a second job)."""
         counters = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
             .withColumn("stage", F.lit(stage))
         )
-        counters.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
+        pdf = counters.toPandas()  # tiny: one row per partition
+        if len(pdf):
+            self.spark.createDataFrame(pdf).write.mode("append").parquet(
+                os.path.join(self.root, "_metrics")
+            )
+        return int(pdf["rows"].sum()) if len(pdf) else 0
 
 
 @dataclass
@@ -122,14 +131,18 @@ def run_pipeline(
     store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
     fp = cfg.fingerprint() + ":" + input_token
 
+    from pyspark.storagelevel import StorageLevel
+
     def stage(name: str, make) -> DataFrame:
         if store is None:
-            return make()
+            # several stages reference their input 2-3 times (pairs reads
+            # bands thrice, scoring reads signatures twice); Spark does not
+            # CSE duplicated UDF subtrees, so an unpersisted stage would
+            # re-run the sketch kernel once per reference
+            return make().persist(StorageLevel.MEMORY_AND_DISK)
         if store.is_complete(name, fp):
             return store.read(name)
-        out = store.write(name, make(), fp)
-        store.append_metrics(name, out)
-        return out
+        return store.write(name, make(), fp)
 
     signatures = stage("signatures", lambda: sketch_documents(docs, cfg))
     if stop_after == "signatures":

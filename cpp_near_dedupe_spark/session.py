@@ -37,7 +37,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # dedupe pair explosion benefits from compact shuffles
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # signature arrays are expensive to sort: prefer hash joins, and let
+        # AQE upgrade to broadcast when the signature side is small enough
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.maxResultSize", "2g")
+        # local mode: driver == executor; size the heap for shuffle buffers
+        # and iterative-plan analysis (ignored if a JVM already exists)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

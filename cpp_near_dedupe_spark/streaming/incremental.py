@@ -1,0 +1,142 @@
+"""Incremental / streaming dedupe: new documents vs a retained-unique store.
+
+The reference's comparer is exactly this shape — each arriving document is
+scored against the retained uniques sharing a band key; matches are dropped,
+survivors join the retained set (`/root/reference/CPPDeduper/
+ComparerThread.h:271-414`). Batch Spark replays that per micro-batch:
+
+* state = (signatures, bands) parquet directories — the Spark analogue of
+  the reference's hash arena + LSH maps (`HashTable.h:24-109`,
+  `LSHBandHashMap.h:234-358`), except durable and append-only.
+* a new batch is first deduped *within itself* (the full pipeline), then
+  its survivors are scored against state candidates; docs matching state
+  are dropped; the rest are appended to state.
+
+Ordering semantics match the reference's arrival-order greedy pass at
+batch granularity: earlier batches always win; within a batch the
+transitive-clustering keep-first rule applies (SURVEY.md §2 C1).
+
+``stream_dedupe`` wires this into Structured Streaming via foreachBatch —
+the recommended pattern for stateful sinks with exactly-once parquet
+output; the state directories make restarts idempotent per epoch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DedupeConfig
+from ..operators.sketch_op import sketch_documents
+from ..operators.blocking import explode_bands
+from ..operators.pairs import candidate_pairs
+from ..operators.scoring import score_pairs
+from ..operators.clustering import connected_components
+from ..operators.resolve import resolve_clusters
+
+
+class SignatureState:
+    """Durable retained-unique store: signatures + exploded bands."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.sig_path = os.path.join(root, "signatures")
+        self.bands_path = os.path.join(root, "bands")
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.sig_path, "_SUCCESS"))
+
+    def signatures(self) -> DataFrame:
+        return self.spark.read.parquet(self.sig_path)
+
+    def bands(self) -> DataFrame:
+        return self.spark.read.parquet(self.bands_path)
+
+    def append(self, signatures: DataFrame, bands: DataFrame) -> None:
+        signatures.write.mode("append").parquet(self.sig_path)
+        bands.write.mode("append").parquet(self.bands_path)
+
+
+def dedupe_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state: SignatureState,
+    cfg: DedupeConfig,
+) -> DataFrame:
+    """Process one batch; returns the surviving (kept) docs with full
+    schema, and appends their signatures to the state."""
+    id_col = cfg.id_col
+
+    # 1. dedupe the batch against itself (full pipeline semantics)
+    sigs_new = sketch_documents(new_docs, cfg)
+    bands_new = explode_bands(sigs_new, cfg)
+    pairs_in = candidate_pairs(bands_new, cfg)
+    edges_in = score_pairs(pairs_in, sigs_new, cfg).filter(
+        F.col("jaccard") >= F.lit(cfg.threshold)
+    )
+    clusters = connected_components(edges_in.select("a", "b"), cfg.cc_max_iterations)
+    resolved = resolve_clusters(new_docs, clusters, cfg)
+    batch_kept = new_docs.join(
+        resolved.filter(F.col("is_kept")).select(id_col), id_col, "left_semi"
+    )
+
+    # 2. score batch survivors against the retained state (reference
+    # semantics: incoming doc vs retained uniques sharing >=1 band)
+    if state.exists():
+        kept_ids = batch_kept.select(id_col)
+        sigs_kept = sigs_new.join(kept_ids, id_col, "left_semi")
+        bands_kept = bands_new.join(kept_ids, id_col, "left_semi")
+        cand = (
+            bands_kept.select("band_id", "band_key", F.col(id_col).alias("a"))
+            .join(
+                state.bands().select("band_id", "band_key", F.col(id_col).alias("b")),
+                ["band_id", "band_key"],
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        all_sigs = sigs_kept.unionByName(state.signatures().select(sigs_kept.columns))
+        matches = score_pairs(cand, all_sigs, cfg).filter(
+            F.col("jaccard") >= F.lit(cfg.threshold)
+        )
+        dup_ids = matches.select(F.col("a").alias(id_col)).distinct()
+        batch_kept = batch_kept.join(dup_ids, id_col, "left_anti")
+
+    # 3. append survivors to state
+    survivor_ids = batch_kept.select(id_col)
+    state.append(
+        sketchless := sigs_new.join(survivor_ids, id_col, "left_semi"),
+        bands_new.join(survivor_ids, id_col, "left_semi"),
+    )
+    return batch_kept
+
+
+def stream_dedupe(
+    spark: SparkSession,
+    source: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    cfg: DedupeConfig,
+    checkpoint_dir: str | None = None,
+):
+    """Structured Streaming wrapper: readStream source → per-micro-batch
+    incremental dedupe → parquet sink. Returns the StreamingQuery."""
+    state = SignatureState(spark, state_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = dedupe_increment(spark, batch_df, state, cfg)
+        kept.write.mode("append").parquet(output_dir)
+
+    return (
+        source.writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_stream_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,165 @@
+"""Tests for the auxiliary operators: simhash, embedding ANN, multimodal
+plumbing, and the incremental/streaming dedupe."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_near_dedupe_spark.config import DedupeConfig
+
+CFG = DedupeConfig(id_col="doc_id", text_col="text", order_col=None)
+
+
+# ------------------------------------------------------------------ simhash
+
+def test_simhash_properties(spark):
+    from cpp_near_dedupe_spark.operators.simhash import simhash_batch
+
+    base = " ".join(f"w{i % 97}" for i in range(500))
+    near = base.replace("w13", "w999", 3)
+    far = " ".join(f"x{i % 89}" for i in range(500))
+    h = simhash_batch([base, base, near, far, "", None])
+    assert h[0] == h[1]  # deterministic
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(h[0], h[2]) < ham(h[0], h[3])  # near-dup closer than unrelated
+    assert h[4] == 0 and h[5] == 0  # empty docs
+
+
+def test_simhash_candidate_pairs(spark):
+    from cpp_near_dedupe_spark.operators.simhash import simhash_candidate_pairs
+
+    base = " ".join(f"w{i % 97}" for i in range(500))
+    texts = [base, base, base.replace("w13", "w999", 1), "zz yy xx ww vv uu"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": texts}), "doc_id long, text string"
+    )
+    got = {(r.a, r.b): r.hamming for r in simhash_candidate_pairs(docs, 3).collect()}
+    assert got.get((0, 1)) == 0  # identical docs: hamming 0
+    assert all(h <= 3 for h in got.values())
+
+
+# ------------------------------------------------------------------ ANN
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 64)).astype(np.float32)
+    # make 1 a near-copy of 0
+    base[1] = base[0] + rng.standard_normal(64).astype(np.float32) * 0.01
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": [list(map(float, v)) for v in base]}),
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    from cpp_near_dedupe_spark.operators.embedding_ann import brute_force_topk
+
+    got = brute_force_topk(emb, query_ids=[0, 7], k=3).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack([np.array(v, dtype=np.float64) for v in pdf.embedding])
+    norms = np.linalg.norm(mat, axis=1)
+    for q in (0, 7):
+        cos = (mat @ mat[q]) / (norms * norms[q])
+        cos[q] = -np.inf
+        order = np.lexsort((np.arange(50), -np.round(cos, 6)))[:3]
+        got_q = got[got.query_id == q].sort_values("rank")
+        assert list(got_q.neighbor_id) == [int(i) for i in order]
+    # near-copy is rank-1 neighbor of 0
+    assert got[(got.query_id == 0) & (got["rank"] == 1)].neighbor_id.iloc[0] == 1
+
+
+def test_lsh_topk_subset_of_bucket_and_finds_near_copy(spark, emb):
+    from cpp_near_dedupe_spark.operators.embedding_ann import lsh_topk, hyperplane_buckets
+
+    got = lsh_topk(emb, query_ids=[0], k=3).toPandas()
+    buckets = {r.vec_id: r.bucket for r in hyperplane_buckets(emb).collect()}
+    for n in got.neighbor_id:
+        assert buckets[n] == buckets[0]
+    # a 0.01-noise copy lands in the same bucket and is found first
+    assert got.sort_values("rank").neighbor_id.iloc[0] == 1
+
+
+# ------------------------------------------------------------------ multimodal
+
+def test_binary_features_plumbing(spark):
+    from cpp_near_dedupe_spark.operators.multimodal import binary_features, with_binary_payload
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["abc", "", None]}),
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in binary_features(with_binary_payload(docs)).collect()}
+    assert got[1].n_bytes == 3
+    assert got[1].md5_hex == __import__("hashlib").md5(b"abc").hexdigest()
+    assert got[1].fake_width == ord("a") + 1
+    assert got[2].n_bytes == 0 and got[3].n_bytes == 0
+    assert got[2].fake_width == 1  # empty payload stub
+
+
+def test_binary_features_decode_gate(spark):
+    from cpp_near_dedupe_spark.operators.multimodal import binary_features, with_binary_payload
+    from py4j.protocol import Py4JJavaError
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x"]}), "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        binary_features(with_binary_payload(docs), decode_stub=False).collect()
+
+
+# ------------------------------------------------------------------ incremental
+
+def _mk_docs(spark, ids_texts):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [i for i, _ in ids_texts], "text": [t for _, t in ids_texts]}
+        ),
+        "doc_id long, text string",
+    )
+
+
+def test_incremental_matches_reference_semantics(spark, tmp_path):
+    from cpp_near_dedupe_spark.streaming.incremental import SignatureState, dedupe_increment
+
+    base = " ".join(f"w{i % 101}" for i in range(400))
+    other = " ".join(f"q{i % 91}" for i in range(400))
+    state = SignatureState(spark, str(tmp_path / "state"))
+
+    # batch 1: two copies of base + one unique -> keeps 2 docs
+    b1 = _mk_docs(spark, [(1, base), (2, base), (3, other)])
+    kept1 = dedupe_increment(spark, b1, state, CFG)
+    assert {r.doc_id for r in kept1.collect()} == {1, 3}
+
+    # batch 2: another copy of base (dupe of retained) + a new unique
+    new = " ".join(f"z{i % 83}" for i in range(400))
+    b2 = _mk_docs(spark, [(10, base), (11, new)])
+    kept2 = dedupe_increment(spark, b2, state, CFG)
+    assert {r.doc_id for r in kept2.collect()} == {11}
+
+    # state now holds 3 retained docs
+    assert state.signatures().count() == 3
+
+
+def test_stream_dedupe_available_now(spark, tmp_path):
+    from cpp_near_dedupe_spark.streaming.incremental import stream_dedupe
+
+    base = " ".join(f"w{i % 101}" for i in range(400))
+    src_dir = str(tmp_path / "src")
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base, base, "short doc here only"]}
+    )
+    spark.createDataFrame(pdf, "doc_id long, text string").write.parquet(src_dir)
+
+    source = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    q = stream_dedupe(
+        spark,
+        source,
+        state_dir=str(tmp_path / "state"),
+        output_dir=str(tmp_path / "out"),
+        cfg=CFG,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.doc_id for r in out.collect()} == {1, 3}
