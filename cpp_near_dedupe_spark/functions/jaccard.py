@@ -50,7 +50,7 @@ def jaccard_batch(sigs_a: list[np.ndarray], sigs_b: list[np.ndarray]) -> np.ndar
 
     order = nonzero[np.argsort(total[nonzero], kind="stable")]
     bounds = np.flatnonzero(np.diff(total[order])) + 1
-    max_chunk = 1 << 16
+    max_chunk = 1 << 11  # pairs per chunk: keeps the concat-sort matrix ~8MB
     for idx0 in np.split(order, bounds):
         L = int(total[idx0[0]])
         for off in range(0, idx0.size, max_chunk):

@@ -46,6 +46,7 @@ from .xxh64 import xxh64, xxh64_rows
 DEFAULT_K = 5  # shingle width in words (`/root/reference/CPPDeduper/CPPDeduper.cpp:20`)
 DEFAULT_NUM_HASHES = 256  # bottom-N sketch size (`CPPDeduper.cpp:341`)
 DEFAULT_SEED = 0  # XXH64 seed (`/root/reference/CPPDeduper/Hashing.h:41`)
+HASH_CHUNK_WINDOWS = 1 << 14  # windows per vectorized hash call (L2-sized)
 
 
 # ---------------------------------------------------------------------------
@@ -220,10 +221,15 @@ def sketch_batch(
     bounds = np.flatnonzero(np.diff(sorted_len)) + 1
     group_slices = np.split(order, bounds)
     # gather windows into reused scratch (fresh allocations fault-storm on
-    # ballooned VMs — see functions/xxh64.py _Scratch) and bound chunk size
+    # ballooned VMs — see functions/xxh64.py _Scratch). Chunk size 16384
+    # keeps the per-call working set L2-resident: measured 4× faster than
+    # 128k chunks when 8 workers share the memory bus. (A sliding-window
+    # strided view + np.take(axis=0) was tried instead of the index matrix
+    # and is ~200× slower — numpy row-take on overlapping strided views is
+    # pathological.)
     from .xxh64 import _SCRATCH
 
-    max_chunk = 1 << 17
+    max_chunk = HASH_CHUNK_WINDOWS
     for idx in group_slices:
         L = int(g_len[idx[0]])
         for off in range(0, idx.size, max_chunk):

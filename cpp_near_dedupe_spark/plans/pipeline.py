@@ -133,13 +133,19 @@ def run_pipeline(
 
     from pyspark.storagelevel import StorageLevel
 
+    # Persist only stages that are CONSUMED MORE THAN ONCE downstream
+    # (Spark does not CSE duplicated UDF subtrees, so e.g. unpersisted
+    # signatures would re-run the sketch kernel once per reference).
+    # Caching single-consumer stages (pairs, edges) just doubles their
+    # memory traffic — measured slower.
+    multi_consumer = {"signatures", "bands", "clusters", "resolved"}
+
     def stage(name: str, make) -> DataFrame:
         if store is None:
-            # several stages reference their input 2-3 times (pairs reads
-            # bands thrice, scoring reads signatures twice); Spark does not
-            # CSE duplicated UDF subtrees, so an unpersisted stage would
-            # re-run the sketch kernel once per reference
-            return make().persist(StorageLevel.MEMORY_AND_DISK)
+            out = make()
+            if name in multi_consumer:
+                out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            return out
         if store.is_complete(name, fp):
             return store.read(name)
         return store.write(name, make(), fp)

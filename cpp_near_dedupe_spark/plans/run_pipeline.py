@@ -34,7 +34,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--order-col", default=None)
-    p.add_argument("--hot-band-cap", type=int, default=2000)
+    p.add_argument("--hot-band-cap", type=int, default=None,
+                   help="bucket size cap before star-routing (default: DedupeConfig)")
     p.add_argument("--master", default=None, help="e.g. local[8]; default from session")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -45,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     from ..operators.resolve import dedupe_output
     from .pipeline import run_pipeline
 
-    cfg = DedupeConfig(
+    cfg_kw = dict(
         shingle_k=args.shingle_k,
         num_hashes=args.num_hashes,
         bands=args.bands,
@@ -53,8 +54,10 @@ def main(argv: list[str] | None = None) -> int:
         id_col=args.id_col,
         text_col=args.text_col,
         order_col=args.order_col,
-        hot_band_cap=args.hot_band_cap,
     )
+    if args.hot_band_cap is not None:
+        cfg_kw["hot_band_cap"] = args.hot_band_cap
+    cfg = DedupeConfig(**cfg_kw)
     cfg.validate()
     spark = build_session(
         app_name="near-dedupe",

@@ -109,7 +109,7 @@ def dedupe_increment(
     # 3. append survivors to state
     survivor_ids = batch_kept.select(id_col)
     state.append(
-        sketchless := sigs_new.join(survivor_ids, id_col, "left_semi"),
+        sigs_new.join(survivor_ids, id_col, "left_semi"),
         bands_new.join(survivor_ids, id_col, "left_semi"),
     )
     return batch_kept
