@@ -211,6 +211,41 @@ def _q_binary_decode_stub(spark, sf_dir):
     )
 
 
+def _q_incremental_dedupe(spark, sf_dir):
+    """Incremental mode (reference's compare-incoming-vs-retained semantics,
+    streaming/incremental.py): first half of the table seeds the retained
+    state, second half is deduped against it. Non-SQL-expressible
+    (stateful) -> rows-only check."""
+    import tempfile
+
+    from cpp_near_dedupe_spark.streaming.incremental import (
+        SignatureState,
+        dedupe_increment,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    first = docs.filter(F.col("doc_id") < n // 2)
+    second = docs.filter(F.col("doc_id") >= n // 2)
+    with tempfile.TemporaryDirectory() as td:
+        state = SignatureState(spark, td)
+        dedupe_increment(spark, first, state, CFG)
+        kept2 = dedupe_increment(spark, second, state, CFG)
+        # materialize before the temp state dir vanishes
+        pdf = kept2.select("doc_id").toPandas()
+    return spark.createDataFrame(pdf[["doc_id"]], "doc_id long")
+
+
+def _q_lsh_dedupe_32bit(spark, sf_dir):
+    """Reference `-s 32` hash mode end-to-end (rows-only)."""
+    from cpp_near_dedupe_spark.config import DedupeConfig
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+
+    cfg32 = DedupeConfig(id_col="doc_id", text_col="text", hash_bits=32)
+    res = run_pipeline(spark, _docs(spark, sf_dir), cfg32)
+    return res.resolved
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # the near-dedupe pipeline chain (SURVEY.md §2: S/T/B/J/C/O operators)
@@ -220,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dupe_edges": _q_lsh_dupe_edges,
         "lsh_clusters": _q_lsh_clusters,
         "lsh_dedupe_kept": _q_lsh_dedupe_kept,
+        "lsh_dedupe_32bit": _q_lsh_dedupe_32bit,
+        "incremental_dedupe": _q_incremental_dedupe,
         # training-data ops
         "exact_dedupe": _q_exact_dedupe,
         "exact_dupe_groups": _q_exact_dupe_groups,

@@ -21,6 +21,7 @@ class DedupeConfig:
     bands: int = 64
     seed: int = 0
     threshold: float = 0.7
+    hash_bits: int = 64  # 64 = XXH64 (default); 32 = reference `-s 32` FNV mode
 
     # input binding
     id_col: str = "doc_id"          # stable row identity (long); for `pages`
@@ -50,6 +51,8 @@ class DedupeConfig:
             )
         if not (0.0 < self.threshold <= 1.0):
             raise ValueError("threshold must be in (0, 1]")
+        if self.hash_bits not in (32, 64):
+            raise ValueError("hash_bits must be 32 or 64")
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing fields, used by the stage

@@ -110,8 +110,14 @@ def sketch_oracle(
     k: int = DEFAULT_K,
     num_hashes: int = DEFAULT_NUM_HASHES,
     seed: int = DEFAULT_SEED,
+    hash_bits: int = 64,
 ) -> list[int]:
-    """Bottom-N distinct shingle-hash sketch of ``text`` (sorted, unsigned)."""
+    """Bottom-N distinct shingle-hash sketch of ``text`` (sorted, unsigned).
+
+    ``hash_bits=64`` (default): XXH64 over the shingle's UTF-16LE bytes;
+    ``hash_bits=32``: the reference's FNV variant (`-s 32` mode, see
+    functions/fnv32.py).
+    """
     if text is None:
         return []
     words = tokenize_oracle(transcode_oracle(text.encode("utf-8")))
@@ -119,10 +125,14 @@ def sketch_oracle(
         return []
     hashes = set()
     for j in range(len(words) - k + 1):
-        payload = b"".join(
-            struct.pack("<H", c) for w in words[j : j + k] for c in w
-        )
-        hashes.add(xxh64(payload, seed))
+        units = [c for w in words[j : j + k] for c in w]
+        if hash_bits == 32:
+            from .fnv32 import fnv32_shingle
+
+            hashes.add(fnv32_shingle(units))
+        else:
+            payload = b"".join(struct.pack("<H", c) for c in units)
+            hashes.add(xxh64(payload, seed))
     return sorted(hashes)[:num_hashes]
 
 
@@ -139,6 +149,7 @@ def sketch_batch(
     k: int = DEFAULT_K,
     num_hashes: int = DEFAULT_NUM_HASHES,
     seed: int = DEFAULT_SEED,
+    hash_bits: int = 64,
 ) -> list[np.ndarray]:
     """Sketch a batch of documents; returns one sorted uint64 array per doc.
 
@@ -239,7 +250,14 @@ def sketch_batch(
             np.add(g_start[sub][:, None], np.arange(L)[None, :], out=idxbuf)
             tokbuf = _SCRATCH.get("sk_tok", mm * L, np.uint16)[: mm * L].reshape(mm, L)
             np.take(all_tokens, idxbuf, out=tokbuf)
-            g_hash[sub] = xxh64_rows(tokbuf.view(np.uint8).reshape(mm, 2 * L), seed)
+            if hash_bits == 32:
+                from .fnv32 import fnv32_u16_rows
+
+                g_hash[sub] = fnv32_u16_rows(tokbuf).astype(np.uint64)
+            else:
+                g_hash[sub] = xxh64_rows(
+                    tokbuf.view(np.uint8).reshape(mm, 2 * L), seed
+                )
 
     # Phase 3: per-doc distinct + bottom-N (np.unique sorts ascending).
     out: list[np.ndarray] = []

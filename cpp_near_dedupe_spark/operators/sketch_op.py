@@ -28,13 +28,15 @@ def sketch_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
     payload column of a pages table is never deserialized).
     """
     id_col, text_col = cfg.id_col, cfg.text_col
-    k, n, seed = cfg.shingle_k, cfg.num_hashes, cfg.seed
+    k, n, seed, bits = cfg.shingle_k, cfg.num_hashes, cfg.seed, cfg.hash_bits
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.sketch import sketch_batch
 
         for pdf in batches:
-            sigs = sketch_batch(pdf[text_col].tolist(), k=k, num_hashes=n, seed=seed)
+            sigs = sketch_batch(
+                pdf[text_col].tolist(), k=k, num_hashes=n, seed=seed, hash_bits=bits
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

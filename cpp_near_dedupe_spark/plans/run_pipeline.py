@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-hashes", type=int, default=256)
     p.add_argument("--bands", type=int, default=64)
     p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--minhash-key-size", type=int, default=64, choices=(32, 64),
+                   help="shingle hash width (reference -s flag): 64=XXH64, 32=FNV variant")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--order-col", default=None)
@@ -48,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg_kw = dict(
         shingle_k=args.shingle_k,
+        hash_bits=args.minhash_key_size,
         num_hashes=args.num_hashes,
         bands=args.bands,
         threshold=args.threshold,
