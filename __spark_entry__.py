@@ -246,6 +246,29 @@ def _q_lsh_dedupe_32bit(spark, sf_dir):
     return res.resolved
 
 
+def _q_brute_force_dupe_pairs(spark, sf_dir):
+    """O(n²) exact comparer (reference's BruteForce path, SURVEY §2 C3) —
+    the ground-truth oracle; only runnable at test scale."""
+    from cpp_near_dedupe_spark.operators.brute_force import brute_force_dupe_pairs
+
+    out = brute_force_dupe_pairs(_docs(spark, sf_dir), CFG)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_lsh_bands_rbs(spark, sf_dir):
+    """Random-bit-sampling band keys (reference default `rbs` mode,
+    fixed-seed emulation — SURVEY §2 B2b)."""
+    from cpp_near_dedupe_spark.config import DedupeConfig
+    from cpp_near_dedupe_spark.operators.sketch_op import sketch_documents
+    from cpp_near_dedupe_spark.operators.blocking import explode_bands
+
+    cfg = DedupeConfig(id_col="doc_id", text_col="text", band_key_mode="rbs")
+    sigs = sketch_documents(_docs(spark, sf_dir), cfg)
+    return explode_bands(sigs, cfg).select(
+        "doc_id", F.col("band_id").cast("long").alias("band_id"), "band_key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # the near-dedupe pipeline chain (SURVEY.md §2: S/T/B/J/C/O operators)
@@ -256,7 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_clusters": _q_lsh_clusters,
         "lsh_dedupe_kept": _q_lsh_dedupe_kept,
         "lsh_dedupe_32bit": _q_lsh_dedupe_32bit,
+        "lsh_bands_rbs": _q_lsh_bands_rbs,
         "incremental_dedupe": _q_incremental_dedupe,
+        "brute_force_dupe_pairs": _q_brute_force_dupe_pairs,
         # training-data ops
         "exact_dedupe": _q_exact_dedupe,
         "exact_dupe_groups": _q_exact_dupe_groups,

@@ -22,6 +22,11 @@ class DedupeConfig:
     seed: int = 0
     threshold: float = 0.7
     hash_bits: int = 64  # 64 = XXH64 (default); 32 = reference `-s 32` FNV mode
+    # band key function: "content" (deterministic hash of band content,
+    # canonical) or "rbs" (emulation of the reference's random-bit-sampling
+    # default, fixed-seed — see functions/bands.py)
+    band_key_mode: str = "content"
+    rbs_seed: int = 1234
 
     # input binding
     id_col: str = "doc_id"          # stable row identity (long); for `pages`
@@ -53,6 +58,8 @@ class DedupeConfig:
             raise ValueError("threshold must be in (0, 1]")
         if self.hash_bits not in (32, 64):
             raise ValueError("hash_bits must be 32 or 64")
+        if self.band_key_mode not in ("content", "rbs"):
+            raise ValueError("band_key_mode must be 'content' or 'rbs'")
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing fields, used by the stage

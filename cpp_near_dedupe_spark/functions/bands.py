@@ -79,3 +79,72 @@ def band_keys_batch(
     keep = band_ids < n_bands_doc[:, None]
     doc_idx = np.broadcast_to(np.arange(m, dtype=np.int64)[:, None], (m, bands))
     return doc_idx[keep], band_ids[keep], keys[keep]
+
+
+# ---------------------------------------------------------------------------
+# rbs band keys — emulation of the reference's default `rbs32/rbs64` mode
+# ---------------------------------------------------------------------------
+
+def _rbs_tables(band_u16_words: int, buckets: int, seed: int):
+    """The reference's random tables (`LSHBandHashMap.h:167-189`): ~16
+    distinct bit-check positions in [0, C] (C = 65535) and one random
+    bucket weight per position. The reference seeds these with
+    ``std::time(0)`` — irreproducible across runs by construction — so this
+    emulation fixes the seed (and uses numpy's RNG; libstdc++'s
+    distribution algorithm is implementation-defined anyway). Divergence
+    documented in SURVEY.md §2 B2b.
+    """
+    rng = np.random.default_rng(seed)
+    c = 65535
+    positions = []
+    while len(positions) < band_u16_words:
+        t = int(rng.integers(0, c + 1))
+        if t not in positions:
+            positions.append(t)
+    positions = np.array(sorted(positions), dtype=np.int64)
+    weights = rng.integers(0, min(buckets, 1 << 16), size=band_u16_words).astype(
+        np.uint64
+    )
+    return positions, weights
+
+
+def rbs_band_keys_batch(
+    signatures: list[np.ndarray],
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = 256,
+    buckets: int = (1 << 32) - 1,
+    seed: int = 1234,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Random-bit-sampling band keys (`LSHBandHashMap.h:202-217` semantics):
+    the band is viewed as uint16 words; for each random position p, if
+    ``(p % C) <= band_words[p % W]`` add that position's random weight; the
+    key is the sum mod ``buckets``. Returns the same exploded triple as
+    ``band_keys_batch``. Lossier than content-hash keys (a sum of a subset
+    of 16 weights collides easily) — kept for reference-mode parity, not
+    the default."""
+    band_size = num_hashes // bands
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    w = band_size * 4  # uint16 words per band (64-bit values)
+    positions, weights = _rbs_tables(w, buckets, seed)
+    m = len(signatures)
+    if m == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.uint64)
+    sig_len = np.fromiter((s.size for s in signatures), count=m, dtype=np.int64)
+    n_bands_doc = sig_len // band_size
+    padded = np.zeros((m, num_hashes), dtype=np.uint64)
+    for i, s in enumerate(signatures):
+        padded[i, : s.size] = s
+    words = padded.view("<u2").reshape(m, bands, w)  # uint16 view per band
+    thresholds = (positions % 65535).astype(np.uint16)  # (p % C)
+    word_idx = (positions % w).astype(np.int64)  # p % VectorLength
+    # (m, bands, 16) comparison -> weighted sum
+    sel = words[:, :, word_idx] >= thresholds[None, None, :]
+    keys = (sel.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+    with np.errstate(over="ignore"):
+        keys = keys % np.uint64(buckets)
+    band_ids = np.broadcast_to(np.arange(bands, dtype=np.int64), (m, bands))
+    keep = band_ids < n_bands_doc[:, None]
+    doc_idx = np.broadcast_to(np.arange(m, dtype=np.int64)[:, None], (m, bands))
+    return doc_idx[keep], band_ids[keep], keys[keep]

@@ -24,13 +24,21 @@ def explode_bands(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
     sketches are never duplicates)."""
     id_col = cfg.id_col
     bands, num_hashes = cfg.bands, cfg.num_hashes
+    mode, rbs_seed = cfg.band_key_mode, cfg.rbs_seed
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.bands import band_keys_batch
+        from ..functions.bands import band_keys_batch, rbs_band_keys_batch
 
         for pdf in batches:
             sigs = [np.asarray(s, dtype=np.int64).view(np.uint64) for s in pdf["signature"]]
-            doc_idx, band_id, band_key = band_keys_batch(sigs, bands=bands, num_hashes=num_hashes)
+            if mode == "rbs":
+                doc_idx, band_id, band_key = rbs_band_keys_batch(
+                    sigs, bands=bands, num_hashes=num_hashes, seed=rbs_seed
+                )
+            else:
+                doc_idx, band_id, band_key = band_keys_batch(
+                    sigs, bands=bands, num_hashes=num_hashes
+                )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values[doc_idx],
