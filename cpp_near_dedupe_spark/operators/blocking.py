@@ -35,6 +35,12 @@ def explode_bands(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
                 doc_idx, band_id, band_key = rbs_band_keys_batch(
                     sigs, bands=bands, num_hashes=num_hashes, seed=rbs_seed
                 )
+                # rbs keys are per-band bucket numbers (< 2^32), NOT
+                # namespaced by band like the content-hash keys; downstream
+                # joins use band_key alone, so fold the band index into the
+                # high bits (equal iff same band AND same rbs bucket —
+                # exactly the reference's per-band multimap semantics)
+                band_key = band_key + (band_id.astype(np.uint64) << np.uint64(33))
             else:
                 doc_idx, band_id, band_key = band_keys_batch(
                     sigs, bands=bands, num_hashes=num_hashes

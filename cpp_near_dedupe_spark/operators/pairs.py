@@ -45,7 +45,11 @@ def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """
     id_col = cfg.id_col
     cap = cfg.hot_band_cap
-    keys = ["band_id", "band_key"]
+    # the band key is already namespaced by band index (computed with
+    # seed = band_id, functions/bands.py), so joining on the single long
+    # key is equivalent to the composite join w.p. 1 - 2^-64 per bucket —
+    # and shuffles ~30% fewer bytes through the hottest stage
+    keys = ["band_key"]
 
     sizes = bands.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
     hot_keys = sizes.filter(F.col("bucket_size") > cap).select(*keys)
@@ -85,7 +89,7 @@ def hot_bucket_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """Per-bucket sizes above the cap — logged to the metrics table so
     star-routing is observable, never silent."""
     return (
-        bands.groupBy("band_id", "band_key")
+        bands.groupBy("band_key")
         .agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > cfg.hot_band_cap)
     )

@@ -34,7 +34,11 @@ from ..operators.scoring import score_pairs
 from ..operators.clustering import connected_components
 from ..operators.resolve import resolve_clusters
 
-STAGES = ("signatures", "bands", "pairs", "edges", "clusters", "resolved")
+STAGES = ("signatures", "sig_reps", "bands", "pairs", "edges", "clusters", "resolved")
+
+# bump when the stage DAG or a stage's semantics change, so stale
+# checkpoints from older layouts can never be resumed into a new run
+PIPELINE_VERSION = 2
 
 
 class CheckpointStore:
@@ -129,7 +133,7 @@ def run_pipeline(
     cfg = cfg or DedupeConfig()
     cfg.validate()
     store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
-    fp = cfg.fingerprint() + ":" + input_token
+    fp = f"v{PIPELINE_VERSION}:" + cfg.fingerprint() + ":" + input_token
 
     from pyspark.storagelevel import StorageLevel
 
@@ -138,7 +142,7 @@ def run_pipeline(
     # signatures would re-run the sketch kernel once per reference).
     # Caching single-consumer stages (pairs, edges) just doubles their
     # memory traffic — measured slower.
-    multi_consumer = {"signatures", "bands", "clusters", "resolved"}
+    multi_consumer = {"signatures", "sig_reps", "bands", "clusters", "resolved"}
 
     def stage(name: str, make) -> DataFrame:
         if store is None:
@@ -150,11 +154,35 @@ def run_pipeline(
             return store.read(name)
         return store.write(name, make(), fp)
 
+    id_col = cfg.id_col
     signatures = stage("signatures", lambda: sketch_documents(docs, cfg))
     if stop_after == "signatures":
         return PipelineResult(signatures, None, None, None, None, None)
 
-    bands = stage("bands", lambda: explode_bands(signatures, cfg))
+    # Identical-sketch collapse: byte-identical sketches are duplicates by
+    # definition (J = 1.0 for non-empty sketches), and at web scale the
+    # exact-dupe/boilerplate mass is large. Group on the signature array
+    # itself (collision-free, unlike a hash of it) and run blocking/
+    # pairing/scoring over one representative per distinct sketch; members
+    # rejoin as direct J=1.0 edges before clustering. Clustering output is
+    # identical-or-better (members are guaranteed connected even where the
+    # hot-bucket cap would have star-routed them).
+    def make_sig_reps() -> DataFrame:
+        nonempty = signatures.filter(F.col("sig_len") > 0)
+        reps = nonempty.groupBy("signature").agg(F.min(id_col).alias("rep_id"))
+        return (
+            nonempty.join(reps, "signature")
+            .select(F.col(id_col), "rep_id")
+        )
+
+    sig_reps = stage("sig_reps", make_sig_reps)
+    rep_sigs = signatures.join(
+        sig_reps.filter(F.col(id_col) == F.col("rep_id")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+    bands = stage("bands", lambda: explode_bands(rep_sigs, cfg))
     if stop_after == "bands":
         return PipelineResult(signatures, bands, None, None, None, None)
 
@@ -169,12 +197,21 @@ def run_pipeline(
     if stop_after == "pairs":
         return PipelineResult(signatures, bands, pairs, None, None, None)
 
-    edges = stage(
-        "edges",
-        lambda: score_pairs(pairs, signatures, cfg).filter(
+    def make_edges() -> DataFrame:
+        scored = score_pairs(pairs, rep_sigs, cfg).filter(
             F.col("jaccard") >= F.lit(cfg.threshold)
-        ),
-    )
+        )
+        member_edges = (
+            sig_reps.filter(F.col(id_col) != F.col("rep_id"))
+            .select(
+                F.col(id_col).alias("a"),
+                F.col("rep_id").alias("b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return scored.unionByName(member_edges)
+
+    edges = stage("edges", make_edges)
     if stop_after == "edges":
         return PipelineResult(signatures, bands, pairs, edges, None, None)
 

@@ -143,12 +143,14 @@ def test_resume_from_checkpoint(spark, pages_600, tmp_path):
     import json, os
 
     manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
-    assert set(manifest) == {"signatures", "bands", "pairs"}
+    assert set(manifest) == {"signatures", "sig_reps", "bands", "pairs"}
     sig_mtime = os.path.getmtime(os.path.join(ckpt, "signatures", "_SUCCESS"))
 
     res = run_pipeline(spark, docs, CFG, checkpoint_dir=ckpt, input_token="t1")
     manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
-    assert set(manifest) == {"signatures", "bands", "pairs", "edges", "clusters", "resolved"}
+    assert set(manifest) == {
+        "signatures", "sig_reps", "bands", "pairs", "edges", "clusters", "resolved"
+    }
     # completed stages were NOT recomputed
     assert os.path.getmtime(os.path.join(ckpt, "signatures", "_SUCCESS")) == sig_mtime
 
