@@ -391,7 +391,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.embedding, b.embedding), 6) AS cosine
+                     -- cast to DOUBLE[]: DuckDB keeps FLOAT[] math in float32,
+                     -- Spark computes in double; low-bit drift breaks the
+                     -- driver value-hash even though round(.,6) looks equal
+                     round(list_cosine_similarity(
+                         q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
               FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
               WHERE q.vec_id < 20)
             SELECT query_id, neighbor_id, cosine, rank FROM (

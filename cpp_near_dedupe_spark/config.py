@@ -41,8 +41,12 @@ class DedupeConfig:
     # bucket at ~32k scored pairs; recall is protected by the 64-band
     # redundancy (a true near-dup pair collides in many buckets)
     hot_band_cap: int = 256
-    salt_buckets: int = 16              # sub-buckets for salted hot keys
     cc_max_iterations: int = 20         # large-star/small-star safety bound
+    # "auto": repartition the (id, text) projection up to min(shuffle
+    # partitions, cores) when the scan yields fewer splits (small-input
+    # fixup only); "never": trust the scan's partitioning (the at-scale
+    # default knob is spark.sql.files.maxPartitionBytes)
+    sketch_repartition: str = "auto"
 
     @property
     def band_size(self) -> int:
@@ -60,13 +64,15 @@ class DedupeConfig:
             raise ValueError("hash_bits must be 32 or 64")
         if self.band_key_mode not in ("content", "rbs"):
             raise ValueError("band_key_mode must be 'content' or 'rbs'")
+        if self.sketch_repartition not in ("auto", "never"):
+            raise ValueError("sketch_repartition must be 'auto' or 'never'")
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing fields, used by the stage
         checkpoint manifest to decide whether a cached stage is reusable."""
         sem = asdict(self)
         # scale knobs don't change results -> excluded from the fingerprint
-        for k in ("shuffle_partitions", "max_records_per_batch"):
+        for k in ("shuffle_partitions", "max_records_per_batch", "sketch_repartition"):
             sem.pop(k)
         return hashlib.sha256(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:16]
 

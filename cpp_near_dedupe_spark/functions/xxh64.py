@@ -14,7 +14,7 @@ implements the published xxHash64 specification
 
 The two implementations are developed independently (python ints vs uint64
 numpy lanes) and cross-checked against each other and against the published
-test vectors in tests/test_xxh64.py.
+test vectors in tests/test_kernels.py.
 """
 
 from __future__ import annotations

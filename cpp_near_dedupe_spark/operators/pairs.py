@@ -33,7 +33,16 @@ from pyspark.sql import functions as F
 from ..config import DedupeConfig
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def bucket_sizes(bands: DataFrame) -> DataFrame:
+    """(band_key, bucket_size) hash aggregation — map-side combined, no
+    sort. Computed ONCE per run and shared by candidate_pairs and the
+    hot-bucket metrics (it is a full pass over the hottest table)."""
+    return bands.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
+
+
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupeConfig, sizes: DataFrame | None = None
+) -> DataFrame:
     """(id, band_id, band_key) → distinct (a, b) with a < b.
 
     Physical shape: bucket sizes come from a hash aggregation (map-side
@@ -42,6 +51,10 @@ def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     window sort. The cold path is a plain self-equi-join that AQE's
     skew-join splitting handles. A naive global row_number window would
     sort the entire bands table; at 10^12 docs that sort IS the job.
+
+    ``sizes``: optionally pass a precomputed/persisted ``bucket_sizes``
+    DataFrame so callers that also log hot-bucket stats don't pay for the
+    aggregation twice.
     """
     id_col = cfg.id_col
     cap = cfg.hot_band_cap
@@ -51,8 +64,11 @@ def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     # and shuffles ~30% fewer bytes through the hottest stage
     keys = ["band_key"]
 
-    sizes = bands.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
-    hot_keys = sizes.filter(F.col("bucket_size") > cap).select(*keys)
+    if sizes is None:
+        sizes = bucket_sizes(bands)
+    # hot_keys feeds two broadcast joins (anti + semi); persist so the
+    # aggregation under it runs once, not once per broadcast exchange
+    hot_keys = sizes.filter(F.col("bucket_size") > cap).select(*keys).persist()
 
     cold = bands.join(F.broadcast(hot_keys), keys, "left_anti")
     cold_pairs = (
@@ -85,11 +101,12 @@ def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
-def hot_bucket_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def hot_bucket_stats(
+    bands: DataFrame, cfg: DedupeConfig, sizes: DataFrame | None = None
+) -> DataFrame:
     """Per-bucket sizes above the cap — logged to the metrics table so
-    star-routing is observable, never silent."""
-    return (
-        bands.groupBy("band_key")
-        .agg(F.count("*").alias("bucket_size"))
-        .filter(F.col("bucket_size") > cfg.hot_band_cap)
-    )
+    star-routing is observable, never silent. Pass the shared ``sizes``
+    aggregate to avoid a second full pass over the bands table."""
+    if sizes is None:
+        sizes = bucket_sizes(bands)
+    return sizes.filter(F.col("bucket_size") > cfg.hot_band_cap)

@@ -2,8 +2,8 @@
 
 Replaces the reference's resolver stage — a 230-line Arrow file splicer
 (`/root/reference/CPPDeduper/DupeResolverThread.h:138-431`) — with one
-window + one anti-join (SURVEY.md §2 O2): the entire "copy input minus dupe
-rows" machinery is ``docs.join(duplicates, id, "left_anti")``.
+aggregation + one anti-join (SURVEY.md §2 O2): the entire "copy input minus
+dupe rows" machinery is ``docs.join(duplicates, id, "left_anti")``.
 
 Representative choice: the reference keeps the *first-seen* doc of a
 cluster (arrival order = (file index, row number),
@@ -14,7 +14,7 @@ min (order_col, id) within each cluster is kept.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupeConfig
@@ -27,18 +27,42 @@ def resolve_clusters(
 
     Docs absent from ``clusters`` (no duplicate edge) are singleton
     clusters of themselves and are kept.
+
+    Physical shape: only the minimum of each cluster is needed, so the
+    representative is a hash aggregation ``groupBy(cluster_id).min(struct
+    (order, id))`` joined back on cluster_id — partial-aggregated map-side,
+    no sort anywhere. (A row_number window over cluster_id would sort every
+    document at the resolve stage; at 10^11 docs that global sort IS the
+    job.) Docs not in any cluster skip both shuffles entirely: they are
+    kept by definition and are unioned back in without touching the agg.
     """
     id_col = cfg.id_col
     order_col = cfg.order_col or id_col
     cols = [id_col] if order_col == id_col else [id_col, order_col]
     member = clusters.withColumnRenamed("id", id_col)
-    joined = docs.select(*cols).join(member, id_col, "left").withColumn(
-        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    # inner join: only docs that appear in a duplicate cluster go through
+    # the agg/join path — the (vast) singleton majority bypasses it
+    clustered = docs.select(*cols).join(member, id_col, "inner")
+    ord_expr = (
+        F.col(id_col)
+        if order_col == id_col
+        else F.struct(F.col(order_col), F.col(id_col))
     )
-    w = Window.partitionBy("cluster_id").orderBy(F.col(order_col), F.col(id_col))
-    return joined.withColumn(
-        "is_kept", F.row_number().over(w) == F.lit(1)
-    ).select(id_col, "cluster_id", "is_kept")
+    reps = clustered.groupBy("cluster_id").agg(F.min(ord_expr).alias("_rep"))
+    rep_id = (
+        F.col("_rep") if order_col == id_col else F.col(f"_rep.{id_col}")
+    )
+    resolved_members = clustered.join(reps, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        (F.col(id_col) == rep_id).alias("is_kept"),
+    )
+    singletons = docs.select(id_col).join(member, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(True).alias("is_kept"),
+    )
+    return resolved_members.unionByName(singletons)
 
 
 def duplicates(resolved: DataFrame, cfg: DedupeConfig) -> DataFrame:

@@ -46,14 +46,22 @@ def sketch_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
             )
 
     projected = df.select(id_col, text_col)
-    # The scan often yields far fewer partitions than cores (one big parquet
-    # file ~= 1-2 splits): redistribute the 2-column projection so the
-    # CPU-heavy sketch kernel uses the whole cluster. Shuffling (id, text)
-    # is cheap relative to sketching it; round-robin balances variable doc
-    # lengths better than hash-of-id.
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if projected.rdd.getNumPartitions() < target:
-        projected = projected.repartition(target)
+    # Small-input guard: a scan can yield far fewer partitions than cores
+    # (one parquet file ~= 1-2 splits), which would serialize the CPU-heavy
+    # sketch kernel. Redistribute ONLY in that case — at 100 TB the scan
+    # already yields thousands of splits and the gate never fires, so the
+    # full (id, text) shuffle is strictly a small-data fixup; the at-scale
+    # lever for split sizing is spark.sql.files.maxPartitionBytes.
+    # (cfg.sketch_repartition="never" disables the probe entirely for
+    # callers that manage partitioning themselves.)
+    if cfg.sketch_repartition != "never":
+        sc = df.sparkSession.sparkContext
+        target = min(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+            sc.defaultParallelism,
+        )
+        if projected.rdd.getNumPartitions() < target:
+            projected = projected.repartition(target)
     return projected.mapInPandas(
         run, schema=f"{id_col} long, sig_len int, signature array<long>"
     )

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..config import DedupeConfig
 from ..operators.sketch_op import sketch_documents
 from ..operators.blocking import explode_bands
-from ..operators.pairs import candidate_pairs, hot_bucket_stats
+from ..operators.pairs import bucket_sizes, candidate_pairs, hot_bucket_stats
 from ..operators.scoring import score_pairs
 from ..operators.clustering import connected_components
 from ..operators.resolve import resolve_clusters
@@ -38,7 +38,7 @@ STAGES = ("signatures", "sig_reps", "bands", "pairs", "edges", "clusters", "reso
 
 # bump when the stage DAG or a stage's semantics change, so stale
 # checkpoints from older layouts can never be resumed into a new run
-PIPELINE_VERSION = 2
+PIPELINE_VERSION = 3
 
 
 class CheckpointStore:
@@ -168,11 +168,19 @@ def run_pipeline(
     # identical-or-better (members are guaranteed connected even where the
     # hot-bucket cap would have star-routed them).
     def make_sig_reps() -> DataFrame:
+        # One shuffle, no join-back: group members alongside the min in the
+        # same aggregation and explode. The alternative (agg then equi-join
+        # the full table back on the signature) shuffles every signature
+        # (~2 KB keys) a second time through the join; collect_list is
+        # partial-aggregated map-side, so the shuffle carries each distinct
+        # signature once plus 8 bytes per member id.
         nonempty = signatures.filter(F.col("sig_len") > 0)
-        reps = nonempty.groupBy("signature").agg(F.min(id_col).alias("rep_id"))
-        return (
-            nonempty.join(reps, "signature")
-            .select(F.col(id_col), "rep_id")
+        grouped = nonempty.groupBy("signature").agg(
+            F.min(id_col).alias("rep_id"),
+            F.collect_list(id_col).alias("_members"),
+        )
+        return grouped.select(
+            F.explode("_members").alias(id_col), "rep_id"
         )
 
     sig_reps = stage("sig_reps", make_sig_reps)
@@ -187,11 +195,21 @@ def run_pipeline(
         return PipelineResult(signatures, bands, None, None, None, None)
 
     def make_pairs() -> DataFrame:
+        # ONE bucket-size aggregation shared between the hot-bucket metrics
+        # and pair generation (it is a full pass over the hottest table)
+        sizes = bucket_sizes(bands).persist(StorageLevel.MEMORY_AND_DISK)
         if store is not None:
-            # observability: record over-cap buckets routed through the star
-            stats = hot_bucket_stats(bands, cfg).withColumn("stage", F.lit("pairs_hot_buckets"))
-            stats.write.mode("append").parquet(os.path.join(store.root, "_metrics"))
-        return candidate_pairs(bands, cfg)
+            # observability: record over-cap buckets routed through the star.
+            # Separate directory from the per-partition counters — the two
+            # writers have different schemas and a mixed parquet dir would
+            # be read back nondeterministically (schema sampled per-footer).
+            stats = hot_bucket_stats(bands, cfg, sizes=sizes).withColumn(
+                "stage", F.lit("pairs_hot_buckets")
+            )
+            stats.write.mode("append").parquet(
+                os.path.join(store.root, "_metrics_hot_buckets")
+            )
+        return candidate_pairs(bands, cfg, sizes=sizes)
 
     pairs = stage("pairs", make_pairs)
     if stop_after == "pairs":

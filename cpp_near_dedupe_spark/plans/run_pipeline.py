@@ -76,8 +76,13 @@ def main(argv: list[str] | None = None) -> int:
     # DupeResolverThread.h:138-196) is timed separately — it is disk-bound
     # payload I/O, not pipeline compute.
     t0 = time.time()
+    # the resume token binds to the input CONTENT, not just its path: a
+    # rewritten-in-place input (same path, different rows) must invalidate
+    # stage checkpoints rather than silently resume over stale data
     res = run_pipeline(
-        spark, docs, cfg, checkpoint_dir=args.checkpoint_dir, input_token=args.input
+        spark, docs, cfg,
+        checkpoint_dir=args.checkpoint_dir,
+        input_token=f"{args.input}:rows={n_in}",
     )
     n_dupes = res.resolved.filter("NOT is_kept").count()
     pipeline_wall = time.time() - t0

@@ -60,4 +60,7 @@ def test_query_runs_and_matches_oracle(spark, duck, name):
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
     assert sorted(got.columns) == sorted(exp.columns), name
     g, e = _normalize(got), _normalize(exp)
-    pd.testing.assert_frame_equal(g, e, check_dtype=False, atol=1e-6, obj=name)
+    # EXACT comparison — the driver value-hashes both sides, so any float
+    # drift (e.g. DuckDB float32 vs Spark double) must fail here too, not
+    # hide behind a tolerance.
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True, obj=name)
