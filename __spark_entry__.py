@@ -4,11 +4,16 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data ops); each callable takes (spark, sf_dir) → DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible
-query. The sketch/LSH/simhash chain (XXH64 over UTF-16 bytes of the exact
+query. The parity sketch chain (XXH64 over UTF-16 bytes of the exact
 reference tokenizer) is not expressible in SQL — those entries are
 deliberately absent so the driver records the weaker rows-only check;
 their semantics are pinned instead by tests/ (golden vectors + pure-Python
-oracle + brute-force F1 corpus).
+oracle + brute-force F1 corpus). The ``lsh_sql_*`` queries close that gap:
+the identical pipeline topology (shingle → bottom-N sketch → band split →
+band-key self-join → distinct pairs → set-Jaccard → threshold → connected
+components → keep-min resolve) over an md5 hash family that BOTH engines
+implement, with full oracles including a recursive-CTE CC — so the shared
+blocking/pairing/clustering/resolve operators are driver-hash-verified.
 
 Column names and types are aligned pairwise (Spark ints cast to long where
 DuckDB returns BIGINT; floats rounded identically on both sides).
@@ -114,9 +119,17 @@ def _q_exact_dedupe(spark, sf_dir):
 
 
 def _q_exact_dupe_groups(spark, sf_dir):
+    """The generator's corpora have no byte-identical texts at small sf, so
+    the plain query would be vacuously green on 0 rows. Union deterministic
+    exact copies (every 10th doc, id offset +1e6; mirrored in the oracle)
+    so the groupBy-md5 HAVING>1 path is verified on real groups."""
     from cpp_near_dedupe_spark.operators.exact_dedupe import exact_dupe_groups
 
-    return exact_dupe_groups(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return exact_dupe_groups(docs.unionByName(copies))
 
 
 def _q_doc_stats(spark, sf_dir):
@@ -215,25 +228,81 @@ def _q_incremental_dedupe(spark, sf_dir):
     """Incremental mode (reference's compare-incoming-vs-retained semantics,
     streaming/incremental.py): first half of the table seeds the retained
     state, second half is deduped against it. Non-SQL-expressible
-    (stateful) -> rows-only check."""
-    import tempfile
+    (stateful) -> rows-only check.
+
+    The state lives in a deterministic scratch dir keyed by sf_dir (cleared
+    per run) and the LAZY kept DataFrame is returned — no toPandas round
+    trip through the driver; at scale the kept set is the whole corpus."""
+    import hashlib
+    import shutil
 
     from cpp_near_dedupe_spark.streaming.incremental import (
         SignatureState,
         dedupe_increment,
     )
 
+    state_dir = "/tmp/spark_graft_incr_state_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    shutil.rmtree(state_dir, ignore_errors=True)
+
     docs = _docs(spark, sf_dir)
     n = docs.count()
     first = docs.filter(F.col("doc_id") < n // 2)
     second = docs.filter(F.col("doc_id") >= n // 2)
-    with tempfile.TemporaryDirectory() as td:
-        state = SignatureState(spark, td)
-        dedupe_increment(spark, first, state, CFG)
-        kept2 = dedupe_increment(spark, second, state, CFG)
-        # materialize before the temp state dir vanishes
-        pdf = kept2.select("doc_id").toPandas()
-    return spark.createDataFrame(pdf[["doc_id"]], "doc_id long")
+    state = SignatureState(spark, state_dir)
+    dedupe_increment(spark, first, state, CFG)
+    kept2 = dedupe_increment(spark, second, state, CFG)
+    return kept2.select("doc_id")
+
+
+def _q_sqlmode(stop_after, project):
+    """Factory for the SQL-expressible LSH chain queries (plans/sql_mode.py):
+    same topology as the parity chain, md5 hash family, full DuckDB oracle."""
+
+    def q(spark, sf_dir):
+        from cpp_near_dedupe_spark.plans.sql_mode import run_sql_pipeline
+
+        res = run_sql_pipeline(spark, _docs(spark, sf_dir), CFG, stop_after=stop_after)
+        return project(res)
+
+    return q
+
+
+_q_lsh_sql_signatures = _q_sqlmode(
+    "signatures",
+    lambda res: res.signatures.select(
+        "doc_id",
+        F.col("sig_len").cast("long").alias("sig_len"),
+        F.array_join("signature", ",").alias("sig_concat"),
+    ),
+)
+
+_q_lsh_sql_bands = _q_sqlmode(
+    "bands",
+    lambda res: res.bands.select(
+        "doc_id", F.col("band_id").cast("long").alias("band_id"), "band_key"
+    ),
+)
+
+_q_lsh_sql_candidate_pairs = _q_sqlmode("pairs", lambda res: res.pairs.select("a", "b"))
+
+_q_lsh_sql_dupe_edges = _q_sqlmode(
+    "edges", lambda res: res.edges.select("a", "b", "jaccard")
+)
+
+_q_lsh_sql_clusters = _q_sqlmode(
+    None, lambda res: res.resolved.select("doc_id", "cluster_id", "is_kept")
+)
+
+
+def _q_lsh_sql_dedupe_kept(spark, sf_dir):
+    from cpp_near_dedupe_spark.plans.sql_mode import run_sql_pipeline
+    from cpp_near_dedupe_spark.operators.resolve import dedupe_output
+
+    docs = _docs(spark, sf_dir)
+    res = run_sql_pipeline(spark, docs, CFG)
+    return dedupe_output(docs, res.resolved, CFG).select("doc_id", "lang", "source")
 
 
 def _q_lsh_dedupe_32bit(spark, sf_dir):
@@ -280,6 +349,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedupe_kept": _q_lsh_dedupe_kept,
         "lsh_dedupe_32bit": _q_lsh_dedupe_32bit,
         "lsh_bands_rbs": _q_lsh_bands_rbs,
+        # the SQL-expressible chain: same topology + shared pairing/CC/
+        # resolve operators, md5 hash family -> full DuckDB oracles
+        "lsh_sql_signatures": _q_lsh_sql_signatures,
+        "lsh_sql_bands": _q_lsh_sql_bands,
+        "lsh_sql_candidate_pairs": _q_lsh_sql_candidate_pairs,
+        "lsh_sql_dupe_edges": _q_lsh_sql_dupe_edges,
+        "lsh_sql_clusters": _q_lsh_sql_clusters,
+        "lsh_sql_dedupe_kept": _q_lsh_sql_dedupe_kept,
         "incremental_dedupe": _q_incremental_dedupe,
         "brute_force_dupe_pairs": _q_brute_force_dupe_pairs,
         # training-data ops
@@ -313,15 +390,90 @@ _LANG_SCORES = ", ".join(
 )
 
 
+# Shared CTE prefix for the SQL-mode LSH chain oracle: tokenize → 5-shingle
+# → md5 → distinct → bottom-256 → 64×4 band split → band-key self-join →
+# distinct pairs → set-Jaccard ≥ 0.7 → symmetric closure → recursive-CTE
+# connected components (cluster id = min doc_id of the component). Mirrors
+# cpp_near_dedupe_spark/plans/sql_mode.py expression for expression.
+_SQLMODE_CTE = f"""
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents),
+sigs AS (
+  SELECT doc_id,
+    (list_sort(list_distinct(list_transform(
+       CASE WHEN len(t) >= 5
+            THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+            ELSE [] END,
+       s -> md5(s)))))[1:256] AS sig
+  FROM toks),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         md5(b::VARCHAR || ':' || array_to_string(sig[b*4+1:b*4+4], ',')) AS band_key
+  FROM sigs, range(0, 64) r(b)
+  WHERE len(sig) >= (b+1)*4),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+edges AS (
+  SELECT p.a, p.b,
+         round(len(list_intersect(sa.sig, sb.sig)) * 1.0 /
+               (len(sa.sig) + len(sb.sig) - len(list_intersect(sa.sig, sb.sig))), 6) AS jaccard
+  FROM cand p JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b),
+dup AS (SELECT a, b FROM edges WHERE jaccard >= 0.7),
+sym AS (SELECT a, b FROM dup UNION SELECT b AS a, a AS b FROM dup),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM sym
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN sym e ON e.a = reach.node),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lsh_sql_signatures": f"""
+            WITH RECURSIVE {_SQLMODE_CTE}
+            SELECT doc_id, len(sig)::BIGINT AS sig_len,
+                   array_to_string(sig, ',') AS sig_concat
+            FROM sigs
+        """,
+        "lsh_sql_bands": f"""
+            WITH RECURSIVE {_SQLMODE_CTE}
+            SELECT doc_id, band_id::BIGINT AS band_id, band_key FROM bands
+        """,
+        "lsh_sql_candidate_pairs": f"""
+            WITH RECURSIVE {_SQLMODE_CTE}
+            SELECT a, b FROM cand
+        """,
+        "lsh_sql_dupe_edges": f"""
+            WITH RECURSIVE {_SQLMODE_CTE}
+            SELECT a, b, jaccard FROM edges WHERE jaccard >= 0.7
+        """,
+        "lsh_sql_clusters": f"""
+            WITH RECURSIVE {_SQLMODE_CTE}
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_kept
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        "lsh_sql_dedupe_kept": f"""
+            WITH RECURSIVE {_SQLMODE_CTE}
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+        """,
         "exact_dedupe": """
             SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
         "exact_dupe_groups": """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0)
             SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
         """,
         "doc_stats": f"""
             SELECT doc_id,

@@ -96,6 +96,13 @@ def dedupe_increment(
                 state.bands().select("band_id", "band_key", F.col(id_col).alias("b")),
                 ["band_id", "band_key"],
             )
+            # a != b: the state dir is re-listed on every (re)computation of
+            # the returned DataFrame, so after append() it contains this
+            # batch's own survivors — without the guard a lazy consumer
+            # collecting post-append would match each survivor against
+            # itself (J=1.0) and drop it. Survivor-vs-survivor pairs are
+            # harmless: they already passed within-batch dedupe (J < thresh).
+            .filter(F.col("a") != F.col("b"))
             .select("a", "b")
             .distinct()
         )
