@@ -305,6 +305,32 @@ def _q_lsh_sql_dedupe_kept(spark, sf_dir):
     return dedupe_output(docs, res.resolved, CFG).select("doc_id", "lang", "source")
 
 
+def _q_arrow_ipc_scan(spark, sf_dir):
+    """Arrow IPC stream-format ingestion (the reference's native input,
+    SURVEY §2 S1/S2 — sources/arrow_ipc.py): a deterministic .arrow fixture
+    (documents sorted by doc_id, split into 2 contiguous stream files) is
+    read back distributed, with the reference's (file_index, row_number)
+    identity verified against the oracle's arithmetic reconstruction."""
+    import hashlib
+    import os
+
+    from cpp_near_dedupe_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        write_arrow_ipc_fixture,
+    )
+
+    fix_dir = "/tmp/spark_graft_arrow_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if not os.path.exists(os.path.join(fix_dir, "part_001.arrow")):
+        write_arrow_ipc_fixture(f"{sf_dir}/documents.parquet", fix_dir, n_files=2)
+    df = read_arrow_ipc(spark, fix_dir, columns=["doc_id", "text"])
+    return df.select(
+        "doc_id",
+        "file_index",
+        "row_number",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
 def _q_lsh_dedupe_32bit(spark, sf_dir):
     """Reference `-s 32` hash mode end-to-end (rows-only)."""
     from cpp_near_dedupe_spark.config import DedupeConfig
@@ -357,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_sql_dupe_edges": _q_lsh_sql_dupe_edges,
         "lsh_sql_clusters": _q_lsh_sql_clusters,
         "lsh_sql_dedupe_kept": _q_lsh_sql_dedupe_kept,
+        "arrow_ipc_scan": _q_arrow_ipc_scan,
         "incremental_dedupe": _q_incremental_dedupe,
         "brute_force_dupe_pairs": _q_brute_force_dupe_pairs,
         # training-data ops
@@ -461,6 +488,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
             WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+        """,
+        "arrow_ipc_scan": """
+            WITH ranked AS (
+              SELECT doc_id, text,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS r,
+                     count(*) OVER () AS n
+              FROM documents)
+            SELECT doc_id,
+                   r // ((n + 1) // 2) AS file_index,
+                   r % ((n + 1) // 2) AS row_number,
+                   md5(text) AS text_md5
+            FROM ranked
         """,
         "exact_dedupe": """
             SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies

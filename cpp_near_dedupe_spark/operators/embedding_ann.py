@@ -6,12 +6,15 @@ Two paths:
   set is broadcast, the dot product is ``aggregate(zip_with(...))`` (whole-
   stage codegen, no Python), top-k via window row_number with deterministic
   tie-break. The baseline and the oracle.
-* ``lsh_topk`` — random-hyperplane LSH (sign-bit bucketing, seeded, fixed):
-  candidates are restricted to the query's bucket, then scored exactly.
+* ``lsh_topk`` — random-hyperplane LSH (sign-bit bucketing, seeded, fixed),
+  multi-table: ``n_tables`` independent hyperplane sets are computed in ONE
+  matmul per Arrow batch; a candidate is any vector sharing ≥1 table's
+  bucket with the query, deduplicated BEFORE scoring, then scored exactly.
   This is the 100 TB path: bucketing turns the O(N·Q) cross product into a
-  bucket-local equi-join; the projection is one numpy matmul per Arrow
-  batch. Recall is tunable via n_planes/n_tables (here one table — the
-  structure is what matters; prod would union several).
+  bucket-local equi-join; recall follows 1-(1-p)^T per neighbor where p is
+  the single-table collision rate (1 - θ/π)^n_planes — measured ≥0.9
+  recall@5 at the bench config in tests/test_ann_recall.py and reported in
+  BENCH/BASELINE.md.
 
 Scores are rounded to 6 dp so Spark and the DuckDB oracle (float32 →
 double accumulation order) compare exactly.
@@ -73,21 +76,37 @@ def hyperplane_buckets(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 7,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, bucket): sign-bit bucket of the seeded random projection."""
+    """(id, table, bucket): sign-bit buckets of ``n_tables`` independent
+    seeded random projections, all computed in one matmul per Arrow batch
+    (the per-batch cost of T tables is one (batch × dim) @ (dim × T·planes)
+    product — memory-bandwidth-identical to a single wide table)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+        planes = np.random.default_rng(seed).standard_normal(
+            (dim, n_tables * n_planes)
+        )
         weights = (1 << np.arange(n_planes)).astype(np.int64)
+        tables = np.arange(n_tables, dtype=np.int32)
         for pdf in batches:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            bucket = ((mat @ planes) > 0) @ weights
-            yield pd.DataFrame({id_col: pdf[id_col].values, "bucket": bucket})
+            bits = (mat @ planes) > 0
+            # (n, T, planes) @ (planes,) -> (n, T)
+            bucket = bits.reshape(len(mat), n_tables, n_planes) @ weights
+            n = len(mat)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].values, n_tables),
+                    "table": np.tile(tables, n),
+                    "bucket": bucket.reshape(-1),
+                }
+            )
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} long, bucket long"
+        run, schema=f"{id_col} long, table int, bucket long"
     )
 
 
@@ -98,25 +117,42 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 7,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine, candidates limited to the query's
-    hyperplane bucket."""
-    buckets = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col)
-    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).join(
-        buckets, id_col
+    """Approximate top-k: exact cosine over candidates sharing ≥1 of
+    ``n_tables`` hyperplane buckets with the query. Candidate pairs are
+    deduplicated across tables BEFORE the (expensive) exact scoring — the
+    same distinct-before-score discipline as the text LSH chain
+    (operators/pairs.py)."""
+    buckets = hyperplane_buckets(
+        embeddings, n_planes, dim, seed, n_tables, id_col, vec_col
     )
-    queries = base.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("q"), "bucket"
+    qlist = list(query_ids)
+    q_buckets = buckets.filter(F.col(id_col).isin(qlist)).select(
+        F.col(id_col).alias("query_id"), "table", "bucket"
     )
-    scored = base.join(F.broadcast(queries), "bucket").filter(
-        F.col(id_col) != F.col("query_id")
+    cand = (
+        buckets.join(F.broadcast(q_buckets), ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
     )
-    scored = scored.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(_cosine(F.col("q"), F.col("v")), 6).alias("cosine"),
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q_vecs = embeddings.filter(F.col(id_col).isin(qlist)).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q")
+    )
+    scored = (
+        cand.join(vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("q"), F.col("v")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -29,7 +29,10 @@ PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
 def load_pages(spark, path: str) -> DataFrame:
     """Read a pages table. Iceberg catalogs aren't available in this
     environment (no runtime jars); parquet directories stand in — the
-    reader is the only place that would change."""
+    reader is the only place that would change. Directories of Arrow IPC
+    stream files (the reference's native input,
+    `/root/reference/CPPDeduper/ArrowLoaderThread.h:117-119`) are detected
+    by extension and routed through sources/arrow_ipc.py."""
     if path.startswith("iceberg:"):
         try:
             return spark.read.table(path.removeprefix("iceberg:"))
@@ -37,7 +40,21 @@ def load_pages(spark, path: str) -> DataFrame:
             raise RuntimeError(
                 "Iceberg catalog not configured in this environment"
             ) from exc
+    if path.endswith(".arrow") or _has_arrow_files(path):
+        from .arrow_ipc import read_arrow_ipc
+
+        return read_arrow_ipc(spark, path)
     return spark.read.parquet(path)
+
+
+def _has_arrow_files(path: str) -> bool:
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    from .arrow_ipc import discover_arrow_files
+
+    return bool(discover_arrow_files(path))
 
 
 def with_doc_id(pages: DataFrame, cfg: DedupeConfig) -> DataFrame:

@@ -1,0 +1,90 @@
+"""ANN recall measurement: multi-table hyperplane LSH vs the exact oracle.
+
+Two datasets, two claims:
+
+* CLUSTERED embeddings (100 base directions × 5 noisy copies, pairwise
+  cosine ≈0.95 within a cluster — the shape of real near-duplicate
+  embedding corpora): ``lsh_topk`` must reach recall@5 ≥ 0.9 against
+  ``brute_force_topk`` while scoring a strict subset of the corpus.
+  This is the scale claim — bucketing prunes, recall survives.
+
+* The driver's synthetic ``embeddings`` table is near-UNIFORM on the
+  sphere (measured top-5 neighbor cosines ≈ −0.3): no LSH family can
+  retrieve "nearest among random points" sub-linearly; information-
+  theoretically the candidates must approach the corpus. We measure and
+  report that number in BENCH/BASELINE.md rather than pretending.
+"""
+
+import numpy as np
+import pytest
+
+from cpp_near_dedupe_spark.operators.embedding_ann import (
+    brute_force_topk,
+    hyperplane_buckets,
+    lsh_topk,
+)
+
+DIM = 64
+N_CLUSTERS = 100
+PER_CLUSTER = 6  # 5 true siblings per query = k, so gold top-5 is all-cluster
+NOISE = 0.04  # 64·σ² = 0.10 -> within-cluster cosine ≈ 0.91 (θ ≈ 25°)
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    rng = np.random.default_rng(123)
+    base = rng.standard_normal((N_CLUSTERS, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = base[c] + NOISE * rng.standard_normal(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _recall_and_candfrac(spark, emb, n_queries=20, k=5, **lsh_kw):
+    gold = brute_force_topk(emb, query_ids=range(n_queries), k=k).toPandas()
+    got = lsh_topk(emb, query_ids=range(n_queries), k=k, **lsh_kw).toPandas()
+    gs = set(zip(gold.query_id, gold.neighbor_id))
+    hits = len(gs & set(zip(got.query_id, got.neighbor_id)))
+    # candidate fraction: how much of the corpus each query had to score
+    n = emb.count()
+    buckets = hyperplane_buckets(
+        emb,
+        n_planes=lsh_kw.get("n_planes", 8),
+        n_tables=lsh_kw.get("n_tables", 8),
+    )
+    bpdf = buckets.toPandas()
+    cand = 0
+    for q in range(n_queries):
+        qb = bpdf[bpdf.vec_id == q][["table", "bucket"]]
+        merged = bpdf.merge(qb, on=["table", "bucket"])
+        cand += merged.vec_id.nunique() - 1
+    return hits / len(gs), cand / (n_queries * (n - 1))
+
+
+def test_clustered_recall_at_5(spark, clustered_emb):
+    recall, cand_frac = _recall_and_candfrac(
+        spark, clustered_emb, n_tables=8, n_planes=8
+    )
+    # scale claim: high recall from a small scored fraction
+    assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"
+    assert cand_frac < 0.35, f"candidate fraction {cand_frac:.3f} not sub-linear"
+
+
+def test_uniform_table_measured_not_asserted(spark):
+    """The driver table is adversarially uniform; record the measured
+    recall so BENCH/BASELINE.md reports an honest number (no threshold —
+    there is no locality to exploit)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    gold = brute_force_topk(emb, query_ids=range(20), k=5).toPandas()
+    got = lsh_topk(emb, query_ids=range(20), k=5, n_tables=8, n_planes=8).toPandas()
+    gs = set(zip(gold.query_id, gold.neighbor_id))
+    recall = len(gs & set(zip(got.query_id, got.neighbor_id))) / len(gs)
+    # sanity only: the join machinery returns well-formed top-k rows
+    assert set(got.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+    assert (got.groupby("query_id")["rank"].max() <= 5).all()
+    print(f"uniform-table recall@5 (n_tables=8, n_planes=8): {recall:.3f}")
