@@ -41,6 +41,17 @@ class DedupeConfig:
     # bucket at ~32k scored pairs; recall is protected by the 64-band
     # redundancy (a true near-dup pair collides in many buckets)
     hot_band_cap: int = 256
+    # candidate topology within a bucket (operators/pairs.py):
+    #   "chain_star" — each doc pairs with its id-order predecessor and the
+    #                  bucket min; O(h) pairs per bucket. DEFAULT: measured
+    #                  F1 on the labeled harness is HIGHER than all_pairs
+    #                  (0.9994/0.9922/0.9909 vs 0.9982/0.9883/0.9885 across
+    #                  seeds 42/7/99 at 5k docs: recall −1 pair, precision
+    #                  up because fewer sub-threshold transitive merges) at
+    #                  ~100× fewer scored pairs on dense-duplicate corpora.
+    #   "all_pairs"  — every co-bucketed pair (≤ hot_band_cap) is scored;
+    #                  maximal pairwise recall, O(h²) pairs per bucket.
+    pair_topology: str = "chain_star"
     cc_max_iterations: int = 20         # large-star/small-star safety bound
     # "auto": repartition the (id, text) projection up to min(shuffle
     # partitions, cores) when the scan yields fewer splits (small-input
@@ -66,6 +77,8 @@ class DedupeConfig:
             raise ValueError("band_key_mode must be 'content' or 'rbs'")
         if self.sketch_repartition not in ("auto", "never"):
             raise ValueError("sketch_repartition must be 'auto' or 'never'")
+        if self.pair_topology not in ("all_pairs", "chain_star"):
+            raise ValueError("pair_topology must be 'all_pairs' or 'chain_star'")
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing fields, used by the stage

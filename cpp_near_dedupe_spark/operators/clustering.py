@@ -26,28 +26,37 @@ rounds also bounds recomputation on executor loss.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _canonicalize(edges: DataFrame) -> DataFrame:
-    """Undirected (a, b) → directed large→small (u, v), self-loops dropped."""
-    return (
-        edges.select(
-            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+def _canonicalize(edges: DataFrame, distinct_pairs: bool = False) -> DataFrame:
+    """Undirected (a, b) → directed large→small (u, v), self-loops dropped.
+    ``distinct_pairs=True`` skips the dedup shuffle when the caller
+    guarantees the input pairs are already distinct as sets (the pipeline's
+    pair generator ends in dropDuplicates, so its edges qualify)."""
+    out = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    return out if distinct_pairs else out.distinct()
+
+
+# Both star steps need "min over the node's neighborhood" attached to every
+# edge row. A whole-partition window (partitionBy u, no ordering) computes
+# it in the SAME shuffle that groups the rows — one wide stage per star —
+# where a groupBy+self-join would shuffle the edge list twice more per
+# round. Round fixed-cost matters: CC runs 3-5 rounds of small data, so
+# stage count, not bytes, dominates its wall time.
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -57,12 +66,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     # edges are canonical u > v, so min(N_small(u) ∪ {u}) = min(v)
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    with_min = edges.join(mins, "u")
+    w = Window.partitionBy("u")
+    with_min = edges.withColumn("m", F.min("v").over(w))
     moved = with_min.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    selfe = mins.select("u", F.col("m").alias("v"))
+    selfe = with_min.select("u", F.col("m").alias("v"))
     return moved.unionByName(selfe).distinct()
 
 
@@ -75,11 +84,13 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, distinct_pairs: bool = False
+) -> DataFrame:
     """Undirected edges (a, b) → (id, cluster_id) for every node appearing
     in an edge. cluster_id = minimum node id of the component. Nodes not in
     any edge are singletons and are absent (callers treat missing as
-    cluster_id = own id).
+    cluster_id = own id). ``distinct_pairs``: see ``_canonicalize``.
 
     Every iteration ends in an eager localCheckpoint: each star step
     references its input 3-4 times, so an untruncated logical plan grows
@@ -92,7 +103,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     # iteration that both materializes the checkpoint (truncating the
     # logical plan before the next round is built on it) and tests
     # convergence.
-    cur = _canonicalize(edges).localCheckpoint(eager=False)
+    cur = _canonicalize(edges, distinct_pairs).localCheckpoint(eager=False)
     prev_sum = _checksum(cur)
     converged = False
     for _ in range(max_iterations):

@@ -55,7 +55,12 @@ def candidate_pairs(
     ``sizes``: optionally pass a precomputed/persisted ``bucket_sizes``
     DataFrame so callers that also log hot-bucket stats don't pay for the
     aggregation twice.
+
+    ``cfg.pair_topology == "chain_star"`` switches to the linear-cost
+    topology (see ``_chain_star_pairs``).
     """
+    if cfg.pair_topology == "chain_star":
+        return _chain_star_pairs(bands, cfg)
     id_col = cfg.id_col
     cap = cfg.hot_band_cap
     # the band key is already namespaced by band index (computed with
@@ -99,6 +104,46 @@ def candidate_pairs(
     return cold_pairs.unionByName(hot_pairs).unionByName(pairs_star).dropDuplicates(
         ["a", "b"]
     )
+
+
+def _chain_star_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Linear-cost candidate topology: within each bucket (docs sorted by
+    id) emit (predecessor, doc) chain pairs plus (bucket_min, doc) star
+    pairs — 2 candidates per band row instead of h²/2 per bucket.
+
+    Why this preserves clustering recall in practice: a bucket is a dupe
+    family plus (rarely) unrelated band-colliders. The chain connects every
+    contiguous id-run of family members; the star connects everything to
+    the bucket min, and a true pair (A,B) co-occurs in MANY buckets (their
+    sketches share most values, so many of the 64 bands match), so a miss
+    requires every such bucket to have an unrelated doc as its minimum —
+    probability decays geometrically with the band redundancy. Measured on
+    the labeled F1 harness (BENCH/BASELINE.md); the all_pairs topology
+    remains the maximal-recall reference. Every emitted pair is still
+    Jaccard-verified, so precision is unaffected by construction.
+
+    Physical shape: one window sort of the bands table (shuffle on
+    band_key; AQE handles skew), no self-join, no quadratic intermediate —
+    the dominant cost of all_pairs on corpora with dense duplicate
+    families (a 500-member bucket emits 999 pairs here vs 125k capped
+    pairs there). No hot-band cap is needed: cost is bounded by
+    construction, and no candidates are dropped (the cap's star fallback
+    IS this topology).
+    """
+    id_col = cfg.id_col
+    w = Window.partitionBy("band_key").orderBy(F.col(id_col))
+    ranked = bands.select("band_key", id_col).select(
+        F.col(id_col),
+        F.lag(id_col).over(w).alias("prev"),
+        F.first(id_col).over(w).alias("bmin"),  # running first = bucket min
+    )
+    chain = ranked.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("a"), F.col(id_col).alias("b")
+    )
+    star = ranked.filter(
+        (F.col("bmin") != F.col(id_col)) & (F.col("bmin") != F.col("prev"))
+    ).select(F.col("bmin").alias("a"), F.col(id_col).alias("b"))
+    return chain.unionByName(star).dropDuplicates(["a", "b"])
 
 
 def hot_bucket_stats(

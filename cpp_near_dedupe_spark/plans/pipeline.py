@@ -235,8 +235,13 @@ def run_pipeline(
 
     clusters = stage(
         "clusters",
+        # distinct_pairs: candidate_pairs ends in dropDuplicates and the
+        # identical-sketch member edges are disjoint from scored rep-rep
+        # pairs, so the edge list is already distinct as sets
         lambda: connected_components(
-            edges.select("a", "b"), max_iterations=cfg.cc_max_iterations
+            edges.select("a", "b"),
+            max_iterations=cfg.cc_max_iterations,
+            distinct_pairs=True,
         ),
     )
     if stop_after == "clusters":

@@ -153,7 +153,9 @@ def run_sql_pipeline(
     if stop_after == "edges":
         return SqlPipelineResult(sigs, bands, pairs, edges, None)
     clusters = connected_components(
-        edges.select("a", "b"), max_iterations=cfg.cc_max_iterations
+        edges.select("a", "b"),
+        max_iterations=cfg.cc_max_iterations,
+        distinct_pairs=True,
     )
     resolved = resolve_clusters(docs, clusters, cfg)
     return SqlPipelineResult(sigs, bands, pairs, edges, resolved)

@@ -78,7 +78,9 @@ def dedupe_increment(
     edges_in = score_pairs(pairs_in, sigs_new, cfg).filter(
         F.col("jaccard") >= F.lit(cfg.threshold)
     )
-    clusters = connected_components(edges_in.select("a", "b"), cfg.cc_max_iterations)
+    clusters = connected_components(
+        edges_in.select("a", "b"), cfg.cc_max_iterations, distinct_pairs=True
+    )
     resolved = resolve_clusters(new_docs, clusters, cfg)
     batch_kept = new_docs.join(
         resolved.filter(F.col("is_kept")).select(id_col), id_col, "left_semi"

@@ -73,10 +73,16 @@ def test_brute_force_topk_matches_numpy(spark, emb):
 def test_lsh_topk_subset_of_bucket_and_finds_near_copy(spark, emb):
     from cpp_near_dedupe_spark.operators.embedding_ann import lsh_topk, hyperplane_buckets
 
-    got = lsh_topk(emb, query_ids=[0], k=3).toPandas()
-    buckets = {r.vec_id: r.bucket for r in hyperplane_buckets(emb).collect()}
+    got = lsh_topk(emb, query_ids=[0], k=3, n_tables=8).toPandas()
+    # every returned neighbor shares >=1 of the 8 per-table buckets with
+    # the query (the candidate-generation contract)
+    bdf = hyperplane_buckets(emb, n_tables=8).toPandas()
+    q_buckets = {
+        (r.table, r.bucket) for r in bdf[bdf.vec_id == 0].itertuples()
+    }
     for n in got.neighbor_id:
-        assert buckets[n] == buckets[0]
+        n_buckets = {(r.table, r.bucket) for r in bdf[bdf.vec_id == n].itertuples()}
+        assert q_buckets & n_buckets, f"neighbor {n} shares no bucket with query"
     # a 0.01-noise copy lands in the same bucket and is found first
     assert got.sort_values("rank").neighbor_id.iloc[0] == 1
 

@@ -47,19 +47,39 @@ def test_sketch_operator_matches_oracle(spark):
 
 
 def test_blocking_operator_matches_oracle(spark):
+    """The band-key CONTRACT is collision structure: a (doc, band) pair
+    shares a key with another iff their 4-value sketch slices are equal
+    (SURVEY §2 B2a — key values themselves are an implementation detail;
+    the JVM path uses xxhash64, the numpy oracle its own mix). Verify the
+    partition of (doc, band) rows by key is identical between the Spark
+    operator and the driver-side oracle, plus band coverage per doc."""
+    # i*j % 53 gives overlapping vocabularies -> some equal slices across docs
     texts = [" ".join(f"w{(i * j) % 53}" for j in range(300)) for i in range(8)]
+    texts.append(texts[0])  # identical doc -> all 64 bands collide
     texts.append("too short")
     docs = _docs(spark, texts)
     sigs = sketch_documents(docs, CFG)
     got = explode_bands(sigs, CFG).toPandas()
+
+    from collections import defaultdict
+
+    oracle_groups = defaultdict(set)
+    jvm_groups = defaultdict(set)
     for i, t in enumerate(texts):
         exp = band_keys_oracle(sketch_oracle(t))
         rows = got[got.doc_id == i].sort_values("band_id")
-        pairs = [
-            (int(b), int(np.int64(k).astype(np.uint64)))
-            for b, k in zip(rows.band_id, rows.band_key)
-        ]
-        assert pairs == exp, i
+        # coverage: the same set of complete bands participates
+        assert [int(b) for b in rows.band_id] == [b for b, _ in exp], i
+        for b, k in exp:
+            oracle_groups[(b, k)].add((i, b))
+        for b, k in zip(rows.band_id, rows.band_key):
+            jvm_groups[(int(b), int(k))].add((i, int(b)))
+    assert sorted(sorted(g) for g in oracle_groups.values()) == sorted(
+        sorted(g) for g in jvm_groups.values()
+    )
+    # identical docs collide everywhere
+    assert (got[got.doc_id == 0].band_key.values
+            == got[got.doc_id == 8].band_key.values).all()
     # doc with empty sketch yields no band rows
     assert (got.doc_id == len(texts) - 1).sum() == 0
 
@@ -82,8 +102,31 @@ def test_candidate_pairs_exact_small_buckets(spark):
     assert got == {(1, 2), (1, 3), (2, 3), (4, 5)}
 
 
+def test_candidate_pairs_chain_star_topology(spark):
+    """chain_star: per bucket, (predecessor, doc) + (bucket_min, doc) —
+    2h-3 pairs for an h-doc bucket, connectivity guaranteed."""
+    cfg = DedupeConfig(id_col="doc_id", pair_topology="chain_star")
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 8, 9],
+                "band_id": [0] * 5 + [1] * 2,
+                "band_key": [10] * 5 + [20] * 2,
+            }
+        ),
+        schema="doc_id long, band_id int, band_key long",
+    )
+    got = {(r.a, r.b) for r in candidate_pairs(bands, cfg).collect()}
+    chain = {(1, 2), (2, 3), (3, 4), (4, 5)}
+    star = {(1, 3), (1, 4), (1, 5)}
+    assert got == chain | star | {(8, 9)}
+    # every bucket member is reachable from the bucket min
+    touched = {x for p in got for x in p}
+    assert touched == {1, 2, 3, 4, 5, 8, 9}
+
+
 def test_candidate_pairs_hot_bucket_star_routing(spark):
-    cfg = DedupeConfig(id_col="doc_id", hot_band_cap=4)
+    cfg = DedupeConfig(id_col="doc_id", hot_band_cap=4, pair_topology="all_pairs")
     n = 10
     bands = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(n), "band_id": [0] * n, "band_key": [7] * n}),
