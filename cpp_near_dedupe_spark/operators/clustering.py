@@ -50,6 +50,11 @@ def _canonicalize(edges: DataFrame, distinct_pairs: bool = False) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # No distinct here: duplicate edges don't change any per-node min, and
+    # the round's small_star ends in the canonicalizing distinct — one
+    # dedup shuffle per round instead of two. (Kiveris et al. dedup both
+    # steps only to bound intermediate growth; a star step inflates the
+    # edge list ≤2× transiently, which the next shuffle absorbs.)
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -60,7 +65,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -106,8 +110,18 @@ def connected_components(
     cur = _canonicalize(edges, distinct_pairs).localCheckpoint(eager=False)
     prev_sum = _checksum(cur)
     converged = False
-    for _ in range(max_iterations):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+    for i in range(max_iterations):
+        # First iteration: ONE star round (the big shrink — checkpointing
+        # right after it keeps the second round's input small). After
+        # that: TWO rounds per checkpoint+checksum job — near-dup graphs
+        # converge in 2-3 rounds, so pairing halves the per-job driver
+        # latency that dominates CC wall time on small residual data. An
+        # odd-round fixpoint just makes the extra round a no-op; the
+        # checksum still stabilizes one job later.
+        nxt = _small_star(_large_star(cur))
+        if i > 0:
+            nxt = _small_star(_large_star(nxt))
+        nxt = nxt.localCheckpoint(eager=False)
         cur_sum = _checksum(nxt)
         cur = nxt
         if cur_sum == prev_sum:

@@ -140,9 +140,14 @@ def run_pipeline(
     # Persist only stages that are CONSUMED MORE THAN ONCE downstream
     # (Spark does not CSE duplicated UDF subtrees, so e.g. unpersisted
     # signatures would re-run the sketch kernel once per reference).
-    # Caching single-consumer stages (pairs, edges) just doubles their
-    # memory traffic — measured slower.
-    multi_consumer = {"signatures", "sig_reps", "bands", "clusters", "resolved"}
+    # Caching single-consumer stages just doubles their memory traffic —
+    # measured slower. bands has one consumer under chain_star (the
+    # window) but three under all_pairs (cold/hot/overflow branches);
+    # clusters feeds resolve's clustered-join, reps aggregation AND the
+    # singleton anti-join (3 consumers).
+    multi_consumer = {"signatures", "sig_reps", "clusters", "resolved"}
+    if cfg.pair_topology == "all_pairs":
+        multi_consumer.add("bands")
 
     def stage(name: str, make) -> DataFrame:
         if store is None:
@@ -195,8 +200,12 @@ def run_pipeline(
         return PipelineResult(signatures, bands, None, None, None, None)
 
     def make_pairs() -> DataFrame:
-        # ONE bucket-size aggregation shared between the hot-bucket metrics
-        # and pair generation (it is a full pass over the hottest table)
+        # chain_star needs no bucket sizes (cost is linear by construction
+        # and nothing is capped/dropped): skip the full-table aggregation
+        # entirely. all_pairs shares ONE aggregation between the hot-bucket
+        # metrics and pair generation.
+        if cfg.pair_topology == "chain_star":
+            return candidate_pairs(bands, cfg)
         sizes = bucket_sizes(bands).persist(StorageLevel.MEMORY_AND_DISK)
         if store is not None:
             # observability: record over-cap buckets routed through the star.

@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--order-col", default=None)
     p.add_argument("--hot-band-cap", type=int, default=None,
                    help="bucket size cap before star-routing (default: DedupeConfig)")
+    p.add_argument("--pair-topology", default=None, choices=("chain_star", "all_pairs"),
+                   help="per-bucket candidate topology (default: DedupeConfig)")
     p.add_argument("--master", default=None, help="e.g. local[8]; default from session")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -60,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.hot_band_cap is not None:
         cfg_kw["hot_band_cap"] = args.hot_band_cap
+    if args.pair_topology is not None:
+        cfg_kw["pair_topology"] = args.pair_topology
     cfg = DedupeConfig(**cfg_kw)
     cfg.validate()
     spark = build_session(
