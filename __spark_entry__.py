@@ -224,6 +224,20 @@ def _q_binary_decode_stub(spark, sf_dir):
     )
 
 
+def _q_frame_offsets(spark, sf_dir):
+    """Multimodal frame-sampling plan (operators/multimodal.py): evenly-
+    spaced whole-frame offsets over the binary payload — pure JVM
+    arithmetic with a full DuckDB oracle (byte extraction itself is pinned
+    by tests; DuckDB cannot slice blobs)."""
+    from cpp_near_dedupe_spark.operators.multimodal import (
+        frame_offsets,
+        with_binary_payload,
+    )
+
+    df = with_binary_payload(_docs(spark, sf_dir))
+    return frame_offsets(df, frame_bytes=256, n_frames=8)
+
+
 def _q_incremental_dedupe(spark, sf_dir):
     """Incremental mode (reference's compare-incoming-vs-retained semantics,
     streaming/incremental.py): first half of the table seeds the retained
@@ -401,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "binary_features": _q_binary_features,
         "binary_decode_stub": _q_binary_decode_stub,
+        "frame_offsets": _q_frame_offsets,
     }
 
 
@@ -600,5 +615,17 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(coalesce(text, ''))) AS n_bytes,
                    md5(coalesce(text, '')) AS md5_hex
             FROM documents
+        """,
+        "frame_offsets": """
+            WITH f AS (
+              SELECT doc_id,
+                     octet_length(encode(coalesce(text, ''))) // 256 AS n_avail
+              FROM documents),
+            k AS (SELECT doc_id, n_avail, least(8, n_avail) AS kk
+                  FROM f WHERE n_avail > 0)
+            SELECT doc_id, i AS frame_idx,
+                   (i * n_avail // kk) * 256 + 1 AS frame_offset,
+                   CAST(256 AS BIGINT) AS frame_len
+            FROM k, range(0, 8) r(i) WHERE i < k.kk
         """,
     }
