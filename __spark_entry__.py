@@ -169,6 +169,12 @@ def _q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def _q_jaro_winkler_adjacent(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.string_sim import jaro_winkler_adjacent
+
+    return jaro_winkler_adjacent(_docs(spark, sf_dir), n_chars=64)
+
+
 def _q_ngram_jaccard_adjacent(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.ngram import ngram_jaccard_adjacent
 
@@ -319,6 +325,22 @@ def _q_lsh_sql_dedupe_kept(spark, sf_dir):
     return dedupe_output(docs, res.resolved, CFG).select("doc_id", "lang", "source")
 
 
+def _q_minhash_perm_signatures(spark, sf_dir):
+    """Classical 128-permutation MinHash (operators/minhash_perm.py):
+    JVM-side universal-hash permutations over md5-based shingle hashes,
+    fully mirrored by the DuckDB oracle."""
+    from cpp_near_dedupe_spark.operators.minhash_perm import minhash_perm_signatures
+
+    out = minhash_perm_signatures(_docs(spark, sf_dir), num_perm=128)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        F.array_join(F.transform("signature", lambda x: x.cast("string")), ",").alias(
+            "sig_concat"
+        ),
+    )
+
+
 def _q_arrow_ipc_scan(spark, sf_dir):
     """Arrow IPC stream-format ingestion (the reference's native input,
     SURVEY §2 S1/S2 — sources/arrow_ipc.py): a deterministic .arrow fixture
@@ -398,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_sql_clusters": _q_lsh_sql_clusters,
         "lsh_sql_dedupe_kept": _q_lsh_sql_dedupe_kept,
         "arrow_ipc_scan": _q_arrow_ipc_scan,
+        "minhash_perm_signatures": _q_minhash_perm_signatures,
         "incremental_dedupe": _q_incremental_dedupe,
         "brute_force_dupe_pairs": _q_brute_force_dupe_pairs,
         # training-data ops
@@ -409,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": _q_token_histogram,
         "language_id": _q_language_id,
         "ngram_jaccard_adjacent": _q_ngram_jaccard_adjacent,
+        "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
         "simhash": _q_simhash,
         "simhash_dupe_pairs": _q_simhash_dupe_pairs,
         "ann_topk": _q_ann_topk,
@@ -471,8 +495,33 @@ comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
 """
 
 
+def _minhash_perm_oracle() -> str:
+    from cpp_near_dedupe_spark.operators.minhash_perm import MERSENNE_P, perm_params
+
+    plit = "[" + ", ".join(f"[{a}, {b}]" for a, b in perm_params(128)) + "]"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+            THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+            ELSE [] END) AS s FROM toks),
+        base AS (
+          SELECT doc_id,
+                 list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS bs
+          FROM sh)
+        SELECT doc_id, len(bs)::BIGINT AS n_shingles,
+               CASE WHEN len(bs) > 0
+                    THEN array_to_string(list_transform({plit},
+                         p -> list_min(list_transform(bs, x -> (p[1] * x + p[2]) % {MERSENNE_P}))), ',')
+                    ELSE '' END AS sig_concat
+        FROM base
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_perm_signatures": _minhash_perm_oracle(),
         "lsh_sql_signatures": f"""
             WITH RECURSIVE {_SQLMODE_CTE}
             SELECT doc_id, len(sig)::BIGINT AS sig_len,
@@ -593,6 +642,14 @@ def oracle_sql() -> dict[str, str]:
                               / (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g)))
                          ELSE 0.0 END, 6) AS jaccard
             FROM grams l JOIN grams r ON r.a = l.a + 1
+        """,
+        "jaro_winkler_adjacent": """
+            WITH p AS (
+              SELECT doc_id AS a, substr(coalesce(text, ''), 1, 64) AS s
+              FROM documents)
+            SELECT l.a AS a, l.a + 1 AS b,
+                   round(jaro_winkler_similarity(l.s, r.s), 6) AS jw
+            FROM p l JOIN p r ON r.a = l.a + 1
         """,
         "ann_topk": """
             WITH scored AS (

@@ -1,0 +1,57 @@
+"""String-similarity operators (Jaro-Winkler) for entity resolution.
+
+The north-star pipeline scores candidate pairs with "batched
+Jaccard/Jaro-Winkler similarity in pandas UDFs": sketch-Jaccard covers
+document bodies (operators/scoring.py); this module covers the short
+identity-ish strings (titles, url slugs, name fields) where Jaro-Winkler
+is the standard record-linkage measure. Arrow-batched kernel, no per-row
+Python in the Spark path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def jaro_winkler_score(
+    pairs: DataFrame, left_col: str = "s1", right_col: str = "s2"
+) -> DataFrame:
+    """Append ``jw`` (rounded to 6 dp) to a DataFrame of string pairs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jaro_winkler import jaro_winkler_batch
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["jw"] = jaro_winkler_batch(
+                pdf[left_col].tolist(), pdf[right_col].tolist()
+            ).round(6)
+            yield out
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(list(pairs.schema.fields) + [StructField("jw", DoubleType())])
+    return pairs.mapInPandas(run, schema=schema)
+
+
+def jaro_winkler_adjacent(
+    docs: DataFrame,
+    n_chars: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b=a+1, jw) over the first ``n_chars`` characters of consecutive
+    documents — the same adjacent-pair harness shape as
+    ngram_jaccard_adjacent, exercising the JW kernel end-to-end with a
+    DuckDB oracle (jaro_winkler_similarity)."""
+    prefix = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, n_chars)
+    left = docs.select(F.col(id_col).alias("a"), prefix.alias("s1"))
+    right = docs.select((F.col(id_col) - 1).alias("a"), prefix.alias("s2"))
+    pairs = left.join(right, "a").select(
+        "a", (F.col("a") + 1).alias("b"), "s1", "s2"
+    )
+    return jaro_winkler_score(pairs).select("a", "b", "jw")

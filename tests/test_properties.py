@@ -1,6 +1,7 @@
 """Hypothesis property tests for the kernels (no Spark)."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from cpp_near_dedupe_spark.functions import (
@@ -75,3 +76,25 @@ def test_band_keys_prefix_stability(sig):
     keys_short = dict(band_keys_oracle(shorter))
     for b, k in keys_short.items():
         assert keys_full[b] == k
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=24),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=24),
+)
+def test_jaro_winkler_matches_duckdb(s1, s2):
+    """The JW kernel is pinned bit-for-bit against DuckDB's
+    jaro_winkler_similarity (the driver oracle) on arbitrary short
+    strings, plus symmetry/bounds."""
+    import duckdb
+
+    from cpp_near_dedupe_spark.functions.jaro_winkler import jaro_winkler
+
+    got = jaro_winkler(s1, s2)
+    exp = duckdb.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [s1, s2]
+    ).fetchone()[0]
+    assert got == pytest.approx(exp, abs=1e-12), (s1, s2)
+    assert jaro_winkler(s2, s1) == pytest.approx(got, abs=1e-12)
+    assert 0.0 <= got <= 1.0
