@@ -61,12 +61,15 @@ def _q_lsh_signatures(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.sketch_op import sketch_documents
 
     sigs = sketch_documents(_docs(spark, sf_dir), CFG)
-    # project deterministic scalar columns (signature array itself is exact
-    # but rows-only hashing of arrays is fine too; keep both)
+    # full signature as one scalar string (rows-only check — XXH64 over
+    # UTF-16 is not SQL-expressible — but the value carries the whole
+    # sketch, not just its first element)
     return sigs.select(
         "doc_id",
         F.col("sig_len").cast("long").alias("sig_len"),
-        F.element_at("signature", 1).alias("sig_first"),
+        F.array_join(
+            F.transform("signature", lambda x: x.cast("string")), ","
+        ).alias("sig_concat"),
     )
 
 

@@ -109,7 +109,7 @@ def main() -> int:
     # therefore the faithful analogue of multi-node scale-out (each added
     # node brings its own memory channels; added local threads don't)
     p.add_argument("--n-docs", type=int, default=800_000)
-    p.add_argument("--levels", type=int, nargs="+", default=[1, 4, 16])
+    p.add_argument("--levels", type=int, nargs="+", default=[1, 4, 16, 32])
     p.add_argument("--skip-f1", action="store_true")
     p.add_argument("--repeats", type=int, default=2)
     args = p.parse_args()

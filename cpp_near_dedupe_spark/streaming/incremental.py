@@ -60,6 +60,29 @@ class SignatureState:
         signatures.write.mode("append").parquet(self.sig_path)
         bands.write.mode("append").parquet(self.bands_path)
 
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Rewrite the state dirs into ``target_partitions`` files each.
+        Every micro-batch append adds a handful of small files; after many
+        epochs the candidate join against state pays one scan task per
+        tiny file. Compaction is an offline maintenance pass (the Iceberg
+        analogue is rewrite_data_files): write to a sibling dir, then
+        atomically swap, so a crash mid-compact never corrupts state."""
+        import shutil
+
+        for path in (self.sig_path, self.bands_path):
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue
+            df = self.spark.read.parquet(path)
+            n = target_partitions or max(
+                2, self.spark.sparkContext.defaultParallelism
+            )
+            tmp = path + "_compacting"
+            df.repartition(n).write.mode("overwrite").parquet(tmp)
+            old = path + "_old"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+
 
 def dedupe_increment(
     spark: SparkSession,

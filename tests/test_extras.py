@@ -169,3 +169,40 @@ def test_stream_dedupe_available_now(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(str(tmp_path / "out"))
     assert {r.doc_id for r in out.collect()} == {1, 3}
+
+
+def test_signature_state_compact(spark, tmp_path):
+    """Compaction rewrites many small append files into few, preserving
+    content exactly; results after compaction are unchanged."""
+    import os
+
+    from cpp_near_dedupe_spark.config import DedupeConfig
+    from cpp_near_dedupe_spark.streaming.incremental import (
+        SignatureState,
+        dedupe_increment,
+    )
+
+    cfg = DedupeConfig(id_col="doc_id", text_col="text")
+    state = SignatureState(spark, str(tmp_path / "state"))
+    texts = [" ".join(f"w{i}x{j % 29}" for j in range(120)) for i in range(12)]
+    for batch in range(3):
+        docs = spark.createDataFrame(
+            [(batch * 4 + i, texts[batch * 4 + i]) for i in range(4)],
+            "doc_id long, text string",
+        )
+        dedupe_increment(spark, docs, state, cfg)
+    before_sigs = state.signatures().toPandas().sort_values("doc_id")
+    n_files_before = len(
+        [f for f in os.listdir(state.sig_path) if f.endswith(".parquet")]
+    )
+    state.compact(target_partitions=2)
+    after_sigs = state.signatures().toPandas().sort_values("doc_id")
+    n_files_after = len(
+        [f for f in os.listdir(state.sig_path) if f.endswith(".parquet")]
+    )
+    assert n_files_after <= 2 < n_files_before
+    assert list(before_sigs.doc_id) == list(after_sigs.doc_id)
+    # state still serves new batches after the swap
+    more = spark.createDataFrame([(100, texts[0])], "doc_id long, text string")
+    kept = dedupe_increment(spark, more, state, cfg)
+    assert kept.count() == 0  # exact dupe of doc 0 -> dropped against state
