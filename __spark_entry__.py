@@ -360,7 +360,16 @@ def _q_arrow_ipc_scan(spark, sf_dir):
 
     fix_dir = "/tmp/spark_graft_arrow_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     if not os.path.exists(os.path.join(fix_dir, "part_001.arrow")):
-        write_arrow_ipc_fixture(f"{sf_dir}/documents.parquet", fix_dir, n_files=2)
+        # build in a scratch dir + atomic rename so a concurrent query run
+        # never observes a half-written fixture
+        tmp_dir = fix_dir + f".tmp{os.getpid()}"
+        write_arrow_ipc_fixture(f"{sf_dir}/documents.parquet", tmp_dir, n_files=2)
+        try:
+            os.rename(tmp_dir, fix_dir)
+        except OSError:  # raced: another process finished first
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     df = read_arrow_ipc(spark, fix_dir, columns=["doc_id", "text"])
     return df.select(
         "doc_id",
