@@ -328,6 +328,60 @@ def _q_lsh_sql_dedupe_kept(spark, sf_dir):
     return dedupe_output(docs, res.resolved, CFG).select("doc_id", "lang", "source")
 
 
+def _dense_docs(spark, sf_dir):
+    """documents ∪ five exact copies of every 50th doc (ids offset by
+    k·10⁶): six-member dupe families whose identical sketches collide in
+    every band, so all_pairs / chain_star / capped+star provably produce
+    DIFFERENT pair sets — mirrored by the oracle's documents_dense CTE."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("k"), "doc_id", "text"
+        )
+        .select((F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(copies)
+
+
+def _q_pairs_topology(topology, cap=None):
+    """Factory for the pair-topology queries over the dense corpus: sketch
+    and bands via the SQL-expressible mode, pairs via the SHARED
+    operators/pairs.py implementation under the given topology/cap. Each
+    variant's DuckDB oracle mirrors exactly its window/join math, so the
+    hash match is structural (not a fixture-density accident):
+
+    * lsh_sql_pairs_dense  — all_pairs, default cap; oracle = capped mirror
+      at the same cap (≡ all co-bucketed pairs while buckets ≤ cap).
+    * lsh_sql_pairs_capped — all_pairs, cap=4; the dense families (6 > 4)
+      drive the hot branch: all pairs among the first 4 + bucket-min star.
+    * lsh_sql_pairs_chain  — chain_star (the parity-mode default): lag()
+      chain + running-first star, oracle mirrors the same two windows.
+      Cap is raised so the (non-SQL-expressible xxhash64-salted) hot
+      branch stays cold here; that branch is pinned by unit tests.
+    """
+
+    def q(spark, sf_dir):
+        import dataclasses
+
+        from cpp_near_dedupe_spark.operators.pairs import candidate_pairs
+        from cpp_near_dedupe_spark.plans.sql_mode import sql_bands, sql_sketch
+
+        kw = {"pair_topology": topology}
+        if cap is not None:
+            kw["hot_band_cap"] = cap
+        cfg = dataclasses.replace(CFG, **kw)
+        bands = sql_bands(sql_sketch(_dense_docs(spark, sf_dir), cfg), cfg).persist()
+        return candidate_pairs(bands, cfg)
+
+    return q
+
+
+_q_lsh_sql_pairs_dense = _q_pairs_topology("all_pairs")
+_q_lsh_sql_pairs_capped = _q_pairs_topology("all_pairs", cap=4)
+_q_lsh_sql_pairs_chain = _q_pairs_topology("chain_star", cap=1_000_000)
+
+
 def _q_minhash_perm_signatures(spark, sf_dir):
     """Classical 128-permutation MinHash (operators/minhash_perm.py):
     JVM-side universal-hash permutations over md5-based shingle hashes,
@@ -344,24 +398,18 @@ def _q_minhash_perm_signatures(spark, sf_dir):
     )
 
 
-def _q_arrow_ipc_scan(spark, sf_dir):
-    """Arrow IPC stream-format ingestion (the reference's native input,
-    SURVEY §2 S1/S2 — sources/arrow_ipc.py): a deterministic .arrow fixture
-    (documents sorted by doc_id, split into 2 contiguous stream files) is
-    read back distributed, with the reference's (file_index, row_number)
-    identity verified against the oracle's arithmetic reconstruction."""
+def _arrow_fixture_dir(sf_dir) -> str:
+    """Deterministic .arrow stream fixture (documents sorted by doc_id,
+    split into 2 contiguous stream files), built once per sf_dir with an
+    atomic rename so a concurrent query run never observes a half-written
+    fixture."""
     import hashlib
     import os
 
-    from cpp_near_dedupe_spark.sources.arrow_ipc import (
-        read_arrow_ipc,
-        write_arrow_ipc_fixture,
-    )
+    from cpp_near_dedupe_spark.sources.arrow_ipc import write_arrow_ipc_fixture
 
     fix_dir = "/tmp/spark_graft_arrow_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     if not os.path.exists(os.path.join(fix_dir, "part_001.arrow")):
-        # build in a scratch dir + atomic rename so a concurrent query run
-        # never observes a half-written fixture
         tmp_dir = fix_dir + f".tmp{os.getpid()}"
         write_arrow_ipc_fixture(f"{sf_dir}/documents.parquet", tmp_dir, n_files=2)
         try:
@@ -370,12 +418,62 @@ def _q_arrow_ipc_scan(spark, sf_dir):
             import shutil
 
             shutil.rmtree(tmp_dir, ignore_errors=True)
-    df = read_arrow_ipc(spark, fix_dir, columns=["doc_id", "text"])
+    return fix_dir
+
+
+def _q_arrow_ipc_scan(spark, sf_dir):
+    """Arrow IPC stream-format ingestion (the reference's native input,
+    SURVEY §2 S1/S2 — sources/arrow_ipc.py): a deterministic .arrow fixture
+    is read back distributed, with the reference's (file_index, row_number)
+    identity verified against the oracle's arithmetic reconstruction."""
+    from cpp_near_dedupe_spark.sources.arrow_ipc import read_arrow_ipc
+
+    df = read_arrow_ipc(spark, _arrow_fixture_dir(sf_dir), columns=["doc_id", "text"])
     return df.select(
         "doc_id",
         "file_index",
         "row_number",
         F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def _q_arrow_ipc_roundtrip(spark, sf_dir):
+    """The reference's full .arrow → dedupe → .arrow workflow
+    (`DupeResolverThread.h:138-196`, schema passthrough `:215-218`), driver-
+    hash-verified: read the stream fixture, dedupe with the SQL-expressible
+    chain, write survivors back as a MIRRORED tree of .arrow stream files
+    (sources/arrow_ipc.py write_arrow_ipc), re-read the output and return
+    each survivor with its new (file_index, row_number) identity. The
+    oracle reconstructs the kept set (recursive-CTE CC) and the rewritten
+    identity arithmetically: survivors keep original file assignment and
+    are re-numbered densely within each output file. Includes the post-
+    write row-count validation pass (`:399-428`)."""
+    import hashlib
+    import shutil
+
+    from cpp_near_dedupe_spark.plans.sql_mode import run_sql_pipeline
+    from cpp_near_dedupe_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        validate_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    fix_dir = _arrow_fixture_dir(sf_dir)
+    out_dir = (
+        "/tmp/spark_graft_arrow_out_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = read_arrow_ipc(spark, fix_dir)
+    res = run_sql_pipeline(spark, docs.select("doc_id", "text"), CFG)
+    kept = docs.join(
+        res.resolved.filter(F.col("is_kept")).select("doc_id"), "doc_id", "left_semi"
+    )
+    summary = write_arrow_ipc(kept, fix_dir, out_dir).toPandas()
+    validate_arrow_ipc(spark, out_dir, int(summary.rows.sum()))
+    back = read_arrow_ipc(spark, out_dir, columns=["doc_id", "text"])
+    return back.select(
+        "doc_id", "file_index", "row_number", F.md5(F.col("text")).alias("text_md5")
     )
 
 
@@ -387,6 +485,23 @@ def _q_lsh_dedupe_32bit(spark, sf_dir):
     cfg32 = DedupeConfig(id_col="doc_id", text_col="text", hash_bits=32)
     res = run_pipeline(spark, _docs(spark, sf_dir), cfg32)
     return res.resolved
+
+
+def _q_lsh_greedy_kept(spark, sf_dir):
+    """Strict arrival-order greedy mode (operators/greedy.py): the
+    reference's exact per-doc keep/drop semantics — drop iff ≥ threshold
+    vs an already-RETAINED earlier doc (`ComparerThread.h:271-414`) — as a
+    distributed fixed-point over the pipeline's verified edges. The greedy
+    retained set (lexicographically-first MIS) is not SQL-expressible →
+    rows-only; pinned locally against a sequential Python oracle
+    (tests/test_greedy.py)."""
+    from cpp_near_dedupe_spark.operators.greedy import greedy_resolve
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, sf_dir)
+    res = run_pipeline(spark, docs, CFG, stop_after="edges")
+    out = greedy_resolve(docs, res.edges.select("a", "b"), CFG)
+    return out.filter(F.col("is_kept")).select("doc_id")
 
 
 def _q_brute_force_dupe_pairs(spark, sf_dir):
@@ -431,9 +546,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_sql_dupe_edges": _q_lsh_sql_dupe_edges,
         "lsh_sql_clusters": _q_lsh_sql_clusters,
         "lsh_sql_dedupe_kept": _q_lsh_sql_dedupe_kept,
+        # pair-topology queries over the densified corpus: each topology's
+        # oracle mirrors ITS math (structural, not density-accidental)
+        "lsh_sql_pairs_dense": _q_lsh_sql_pairs_dense,
+        "lsh_sql_pairs_capped": _q_lsh_sql_pairs_capped,
+        "lsh_sql_pairs_chain": _q_lsh_sql_pairs_chain,
         "arrow_ipc_scan": _q_arrow_ipc_scan,
+        "arrow_ipc_roundtrip": _q_arrow_ipc_roundtrip,
         "minhash_perm_signatures": _q_minhash_perm_signatures,
         "incremental_dedupe": _q_incremental_dedupe,
+        "lsh_greedy_kept": _q_lsh_greedy_kept,
         "brute_force_dupe_pairs": _q_brute_force_dupe_pairs,
         # training-data ops
         "exact_dedupe": _q_exact_dedupe,
@@ -473,9 +595,27 @@ _LANG_SCORES = ", ".join(
 # distinct pairs → set-Jaccard ≥ 0.7 → symmetric closure → recursive-CTE
 # connected components (cluster id = min doc_id of the component). Mirrors
 # cpp_near_dedupe_spark/plans/sql_mode.py expression for expression.
-_SQLMODE_CTE = f"""
+#
+# ``dense`` variant: the generator's sf corpora have no band bucket dense
+# enough for the pair topologies (all_pairs / chain_star / capped+star) to
+# differ, so a hash-green pairs row there would not pin WHICH topology ran.
+# The dense corpus unions 5 exact copies of every 50th doc (ids offset by
+# k·10⁶, k=1..5) — six-member families whose identical sketches collide in
+# every band, so the three topologies provably produce different pair sets
+# and each one is verified against an oracle mirroring ITS math.
+_DENSE_CTE = """
+documents_dense AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + k * 1000000 AS doc_id, text
+  FROM documents, range(1, 6) r(k) WHERE doc_id % 50 = 0)
+"""
+
+
+def _sqlmode_cte(source: str = "documents") -> str:
+    return f"""
 toks AS (
-  SELECT doc_id, {_TOKS} AS t FROM documents),
+  SELECT doc_id, {_TOKS} AS t FROM {source}),
 sigs AS (
   SELECT doc_id,
     (list_sort(list_distinct(list_transform(
@@ -504,6 +644,55 @@ reach(node, r) AS (
   UNION
   SELECT e.b AS node, reach.r FROM reach JOIN sym e ON e.a = reach.node),
 comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+_SQLMODE_CTE = _sqlmode_cte()
+
+# the tokenize→sketch→band prefix only (no pair/edge/CC CTEs) over the
+# densified corpus — the pair-topology oracles append their own pair math
+_DENSE_BANDS_PREFIX = (
+    _DENSE_CTE
+    + ","
+    + _sqlmode_cte("documents_dense").split("cand AS")[0].rstrip().rstrip(",")
+)
+
+
+def _capped_pairs_oracle(cap: int) -> str:
+    """DuckDB mirror of operators/pairs.py all_pairs: within each band
+    bucket (rows ranked by doc_id), all pairs among the first ``cap`` rows
+    plus (bucket minimum, doc) star edges for rows beyond the cap; distinct
+    across bands. For buckets ≤ cap this degenerates to all co-bucketed
+    pairs, so the equivalence is structural at ANY fixture density."""
+    return f"""
+        WITH {_DENSE_BANDS_PREFIX},
+        ranked AS (
+          SELECT doc_id, band_key,
+                 row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+          FROM bands),
+        head AS (SELECT * FROM ranked WHERE rn <= {cap}),
+        hp AS (
+          SELECT l.doc_id AS a, r.doc_id AS b
+          FROM head l JOIN head r ON l.band_key = r.band_key AND l.rn < r.rn),
+        sp AS (
+          SELECT c.doc_id AS a, o.doc_id AS b
+          FROM ranked c JOIN ranked o
+            ON c.band_key = o.band_key AND c.rn = 1 AND o.rn > {cap})
+        SELECT DISTINCT a, b FROM (SELECT * FROM hp UNION ALL SELECT * FROM sp)
+    """
+
+
+_CHAIN_PAIRS_ORACLE = f"""
+    WITH {_DENSE_BANDS_PREFIX},
+    w AS (
+      SELECT doc_id,
+             lag(doc_id) OVER (PARTITION BY band_key ORDER BY doc_id) AS prev,
+             first_value(doc_id) OVER (PARTITION BY band_key ORDER BY doc_id) AS bmin
+      FROM bands),
+    chain AS (SELECT prev AS a, doc_id AS b FROM w WHERE prev IS NOT NULL),
+    star AS (SELECT bmin AS a, doc_id AS b FROM w
+             WHERE bmin != doc_id AND bmin != prev)
+    SELECT DISTINCT a, b FROM (SELECT * FROM chain UNION ALL SELECT * FROM star)
 """
 
 
@@ -565,6 +754,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
             WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
         """,
+        "lsh_sql_pairs_dense": _capped_pairs_oracle(DedupeConfig().hot_band_cap),
+        "lsh_sql_pairs_capped": _capped_pairs_oracle(4),
+        "lsh_sql_pairs_chain": _CHAIN_PAIRS_ORACLE,
         "arrow_ipc_scan": """
             WITH ranked AS (
               SELECT doc_id, text,
@@ -576,6 +768,24 @@ def oracle_sql() -> dict[str, str]:
                    r % ((n + 1) // 2) AS row_number,
                    md5(text) AS text_md5
             FROM ranked
+        """,
+        "arrow_ipc_roundtrip": f"""
+            WITH RECURSIVE {_SQLMODE_CTE},
+            kept AS (
+              SELECT d.doc_id, d.text
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+              WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS r,
+                     count(*) OVER () AS n
+              FROM documents),
+            files AS (SELECT doc_id, r // ((n + 1) // 2) AS file_index FROM ranked)
+            SELECT k.doc_id, f.file_index,
+                   row_number() OVER (PARTITION BY f.file_index ORDER BY k.doc_id) - 1
+                     AS row_number,
+                   md5(k.text) AS text_md5
+            FROM kept k JOIN files f ON f.doc_id = k.doc_id
         """,
         "exact_dedupe": """
             SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies

@@ -39,7 +39,10 @@ class DedupeConfig:
     # bucket size above which pair generation switches from exact all-pairs
     # to capped all-pairs + star (see operators/pairs.py). 256 bounds a hot
     # bucket at ~32k scored pairs; recall is protected by the 64-band
-    # redundancy (a true near-dup pair collides in many buckets)
+    # redundancy (a true near-dup pair collides in many buckets). Under
+    # chain_star the same value is the salting threshold AND the target
+    # sub-bucket size for over-cap windows (nothing is dropped there —
+    # the cap only bounds the per-task window partition)
     hot_band_cap: int = 256
     # candidate topology within a bucket (operators/pairs.py):
     #   "chain_star" — each doc pairs with its id-order predecessor and the
@@ -48,11 +51,18 @@ class DedupeConfig:
     #                  (0.9994/0.9922/0.9909 vs 0.9982/0.9883/0.9885 across
     #                  seeds 42/7/99 at 5k docs: recall −1 pair, precision
     #                  up because fewer sub-threshold transitive merges) at
-    #                  ~100× fewer scored pairs on dense-duplicate corpora.
+    #                  ~30× fewer scored pairs (BENCH/BASELINE.md) on
+    #                  dense-duplicate corpora.
     #   "all_pairs"  — every co-bucketed pair (≤ hot_band_cap) is scored;
     #                  maximal pairwise recall, O(h²) pairs per bucket.
     pair_topology: str = "chain_star"
     cc_max_iterations: int = 20         # large-star/small-star safety bound
+    # identical-sketch collapse (plans/pipeline.py): families at or below
+    # this size are grouped with a single collect_list aggregation (one
+    # shuffle, list bounded at cap·8 bytes); larger families — exact-dupe
+    # boilerplate repeated 10⁶-10⁷ times at web scale — are routed through
+    # a join-back that never materializes the member list in one row
+    sig_collapse_cap: int = 65536
     # "auto": repartition the (id, text) projection up to min(shuffle
     # partitions, cores) when the scan yields fewer splits (small-input
     # fixup only); "never": trust the scan's partitioning (the at-scale
@@ -79,13 +89,20 @@ class DedupeConfig:
             raise ValueError("sketch_repartition must be 'auto' or 'never'")
         if self.pair_topology not in ("all_pairs", "chain_star"):
             raise ValueError("pair_topology must be 'all_pairs' or 'chain_star'")
+        if self.sig_collapse_cap < 1:
+            raise ValueError("sig_collapse_cap must be >= 1")
 
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing fields, used by the stage
         checkpoint manifest to decide whether a cached stage is reusable."""
         sem = asdict(self)
         # scale knobs don't change results -> excluded from the fingerprint
-        for k in ("shuffle_partitions", "max_records_per_batch", "sketch_repartition"):
+        for k in (
+            "shuffle_partitions",
+            "max_records_per_batch",
+            "sketch_repartition",
+            "sig_collapse_cap",
+        ):
             sem.pop(k)
         return hashlib.sha256(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:16]
 

@@ -60,7 +60,7 @@ def candidate_pairs(
     topology (see ``_chain_star_pairs``).
     """
     if cfg.pair_topology == "chain_star":
-        return _chain_star_pairs(bands, cfg)
+        return _chain_star_pairs(bands, cfg, sizes=sizes)
     id_col = cfg.id_col
     cap = cfg.hot_band_cap
     # the band key is already namespaced by band index (computed with
@@ -106,7 +106,28 @@ def candidate_pairs(
     )
 
 
-def _chain_star_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def _chain_star_window(bands: DataFrame, id_col: str, part_cols: list[str]) -> DataFrame:
+    """Chain + star pairs within each window partition (docs sorted by id):
+    (predecessor, doc) chain pairs plus (partition_min, doc) star pairs —
+    2 candidates per row instead of h²/2 per bucket."""
+    w = Window.partitionBy(*part_cols).orderBy(F.col(id_col))
+    ranked = bands.select(*part_cols, id_col).select(
+        F.col(id_col),
+        F.lag(id_col).over(w).alias("prev"),
+        F.first(id_col).over(w).alias("bmin"),  # running first = partition min
+    )
+    chain = ranked.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("a"), F.col(id_col).alias("b")
+    )
+    star = ranked.filter(
+        (F.col("bmin") != F.col(id_col)) & (F.col("bmin") != F.col("prev"))
+    ).select(F.col("bmin").alias("a"), F.col(id_col).alias("b"))
+    return chain.unionByName(star)
+
+
+def _chain_star_pairs(
+    bands: DataFrame, cfg: DedupeConfig, sizes: DataFrame | None = None
+) -> DataFrame:
     """Linear-cost candidate topology: within each bucket (docs sorted by
     id) emit (predecessor, doc) chain pairs plus (bucket_min, doc) star
     pairs — 2 candidates per band row instead of h²/2 per bucket.
@@ -123,27 +144,62 @@ def _chain_star_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     Jaccard-verified, so precision is unaffected by construction.
 
     Physical shape: one window sort of the bands table (shuffle on
-    band_key; AQE handles skew), no self-join, no quadratic intermediate —
-    the dominant cost of all_pairs on corpora with dense duplicate
-    families (a 500-member bucket emits 999 pairs here vs 125k capped
-    pairs there). No hot-band cap is needed: cost is bounded by
-    construction, and no candidates are dropped (the cap's star fallback
-    IS this topology).
+    band_key), no self-join, no quadratic intermediate — the dominant cost
+    of all_pairs on corpora with dense duplicate families (a 500-member
+    bucket emits 999 pairs here vs 125k capped pairs there).
+
+    Skew: AQE's skew-join splitting does NOT apply to window partitions,
+    so without intervention the hottest band bucket (boilerplate at web
+    scale, possibly 10⁷ rows) would land in ONE window task. Buckets over
+    ``hot_band_cap`` are therefore salted into ⌈h/cap⌉ sub-buckets of
+    ~cap expected rows each (deterministic ``xxhash64(id) % n_salts``):
+    chain+star runs per sub-bucket, and each sub-bucket minimum is linked
+    to the bucket's global minimum, so the bucket stays one connected
+    candidate group — still O(h) pairs total, but no window partition
+    exceeds ~cap rows. Hot buckets are found via the shared
+    ``bucket_sizes`` hash aggregation + a broadcast anti/semi-join, the
+    same machinery the all_pairs path uses; nothing is capped or dropped.
     """
     id_col = cfg.id_col
-    w = Window.partitionBy("band_key").orderBy(F.col(id_col))
-    ranked = bands.select("band_key", id_col).select(
-        F.col(id_col),
-        F.lag(id_col).over(w).alias("prev"),
-        F.first(id_col).over(w).alias("bmin"),  # running first = bucket min
+    cap = cfg.hot_band_cap
+    if sizes is None:
+        sizes = bucket_sizes(bands)
+    hot_keys = (
+        sizes.filter(F.col("bucket_size") > cap)
+        .select("band_key", "bucket_size")
+        .persist()
     )
-    chain = ranked.filter(F.col("prev").isNotNull()).select(
-        F.col("prev").alias("a"), F.col(id_col).alias("b")
+
+    slim = bands.select("band_key", id_col)
+    cold = slim.join(F.broadcast(hot_keys.select("band_key")), ["band_key"], "left_anti")
+    cold_pairs = _chain_star_window(cold, id_col, ["band_key"])
+
+    # hot path: sub-bucket the window partition so one degenerate band key
+    # cannot occupy a single straggler task
+    # inner join doubles as the semi-filter and attaches bucket_size
+    hot = slim.join(F.broadcast(hot_keys), ["band_key"])
+    n_salts = F.floor((F.col("bucket_size") + cap - 1) / cap).cast("long")
+    salted = hot.select(
+        "band_key",
+        id_col,
+        F.pmod(F.xxhash64(F.col(id_col)), n_salts).alias("salt"),
     )
-    star = ranked.filter(
-        (F.col("bmin") != F.col(id_col)) & (F.col("bmin") != F.col("prev"))
-    ).select(F.col("bmin").alias("a"), F.col(id_col).alias("b"))
-    return chain.unionByName(star).dropDuplicates(["a", "b"])
+    hot_pairs = _chain_star_window(salted, id_col, ["band_key", "salt"])
+    # link each sub-bucket minimum to the bucket's global minimum (a < b
+    # holds: the global min is ≤ every sub-bucket min)
+    sub_mins = salted.groupBy("band_key", "salt").agg(F.min(id_col).alias("b"))
+    g_mins = salted.groupBy("band_key").agg(F.min(id_col).alias("a"))
+    links = (
+        sub_mins.join(g_mins, "band_key")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+
+    return (
+        cold_pairs.unionByName(hot_pairs)
+        .unionByName(links)
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def hot_bucket_stats(

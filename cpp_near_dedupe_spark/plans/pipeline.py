@@ -105,6 +105,45 @@ class CheckpointStore:
         return int(pdf["rows"].sum()) if len(pdf) else 0
 
 
+def signature_reps(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Identical-sketch collapse: (id, sig_len, signature) → (id, rep_id)
+    with rep_id = min id per distinct non-empty signature.
+
+    Byte-identical sketches are duplicates by definition (J = 1.0 for
+    non-empty sketches), and at web scale the exact-dupe/boilerplate mass
+    is large, so blocking/pairing/scoring run over one representative per
+    distinct sketch; members rejoin as direct J=1.0 edges before
+    clustering. Grouping is on the signature array itself (collision-free,
+    unlike a hash of it).
+
+    Memory bound: a single collect_list over an unbounded group would put
+    one exact-dupe family's entire member list (10⁶-10⁷ ids for web
+    boilerplate) into ONE aggregation row → executor OOM. Families at or
+    below ``cfg.sig_collapse_cap`` use the one-shuffle collect_list path
+    (the shuffle carries each distinct signature once plus ≤ cap·8 bytes
+    of ids); larger families are routed through a join-back that attaches
+    rep_id row-by-row and never materializes the list. The over-cap
+    signature set is found with a cheap min/count hash aggregation (map-
+    side combined; shuffle = one row per distinct signature) and is almost
+    always tiny-or-empty, so AQE turns both routing joins into broadcasts.
+    """
+    id_col = cfg.id_col
+    cap = cfg.sig_collapse_cap
+    nonempty = signatures.filter(F.col("sig_len") > 0).select(id_col, "signature")
+    counts = nonempty.groupBy("signature").agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("_n")
+    )
+    hot = counts.filter(F.col("_n") > cap).select("signature", "rep_id").persist()
+    hot_members = nonempty.join(hot, "signature").select(id_col, "rep_id")
+    cold = nonempty.join(hot.select("signature"), "signature", "left_anti")
+    grouped = cold.groupBy("signature").agg(
+        F.min(id_col).alias("rep_id"),
+        F.collect_list(id_col).alias("_members"),
+    )
+    cold_members = grouped.select(F.explode("_members").alias(id_col), "rep_id")
+    return cold_members.unionByName(hot_members)
+
+
 @dataclass
 class PipelineResult:
     signatures: DataFrame
@@ -144,10 +183,9 @@ def run_pipeline(
     # measured slower. bands has one consumer under chain_star (the
     # window) but three under all_pairs (cold/hot/overflow branches);
     # clusters feeds resolve's clustered-join, reps aggregation AND the
-    # singleton anti-join (3 consumers).
-    multi_consumer = {"signatures", "sig_reps", "clusters", "resolved"}
-    if cfg.pair_topology == "all_pairs":
-        multi_consumer.add("bands")
+    # singleton anti-join (3 consumers). bands feeds the bucket_sizes
+    # aggregation plus the cold/hot branches under BOTH topologies.
+    multi_consumer = {"signatures", "sig_reps", "bands", "clusters", "resolved"}
 
     def stage(name: str, make) -> DataFrame:
         if store is None:
@@ -164,31 +202,12 @@ def run_pipeline(
     if stop_after == "signatures":
         return PipelineResult(signatures, None, None, None, None, None)
 
-    # Identical-sketch collapse: byte-identical sketches are duplicates by
-    # definition (J = 1.0 for non-empty sketches), and at web scale the
-    # exact-dupe/boilerplate mass is large. Group on the signature array
-    # itself (collision-free, unlike a hash of it) and run blocking/
-    # pairing/scoring over one representative per distinct sketch; members
+    # Identical-sketch collapse (see signature_reps): blocking/pairing/
+    # scoring run over one representative per distinct sketch; members
     # rejoin as direct J=1.0 edges before clustering. Clustering output is
     # identical-or-better (members are guaranteed connected even where the
     # hot-bucket cap would have star-routed them).
-    def make_sig_reps() -> DataFrame:
-        # One shuffle, no join-back: group members alongside the min in the
-        # same aggregation and explode. The alternative (agg then equi-join
-        # the full table back on the signature) shuffles every signature
-        # (~2 KB keys) a second time through the join; collect_list is
-        # partial-aggregated map-side, so the shuffle carries each distinct
-        # signature once plus 8 bytes per member id.
-        nonempty = signatures.filter(F.col("sig_len") > 0)
-        grouped = nonempty.groupBy("signature").agg(
-            F.min(id_col).alias("rep_id"),
-            F.collect_list(id_col).alias("_members"),
-        )
-        return grouped.select(
-            F.explode("_members").alias(id_col), "rep_id"
-        )
-
-    sig_reps = stage("sig_reps", make_sig_reps)
+    sig_reps = stage("sig_reps", lambda: signature_reps(signatures, cfg))
     rep_sigs = signatures.join(
         sig_reps.filter(F.col(id_col) == F.col("rep_id")).select(id_col),
         id_col,
@@ -200,12 +219,10 @@ def run_pipeline(
         return PipelineResult(signatures, bands, None, None, None, None)
 
     def make_pairs() -> DataFrame:
-        # chain_star needs no bucket sizes (cost is linear by construction
-        # and nothing is capped/dropped): skip the full-table aggregation
-        # entirely. all_pairs shares ONE aggregation between the hot-bucket
-        # metrics and pair generation.
-        if cfg.pair_topology == "chain_star":
-            return candidate_pairs(bands, cfg)
+        # Both topologies consume bucket sizes (all_pairs for the cap/star
+        # routing, chain_star for sub-bucket salting of over-cap windows);
+        # ONE aggregation is shared between the hot-bucket metrics and pair
+        # generation.
         sizes = bucket_sizes(bands).persist(StorageLevel.MEMORY_AND_DISK)
         if store is not None:
             # observability: record over-cap buckets routed through the star.

@@ -133,10 +133,25 @@ def run_sql_pipeline(
     stop_after: str | None = None,
 ) -> SqlPipelineResult:
     """The full chain in SQL-expressible mode, reusing the shared blocking /
-    pairing / clustering / resolve operators."""
+    pairing / clustering / resolve operators.
+
+    Pair topology is forced to ``all_pairs`` regardless of the incoming
+    config: the DuckDB oracle's ``cand`` CTE defines the candidate set as
+    ALL distinct band-colliding pairs, and ``all_pairs`` is the topology
+    that computes exactly that set (structurally, for every bucket up to
+    ``hot_band_cap`` — the capped+star over-cap branch has its own
+    window-function oracle, ``lsh_sql_pairs_capped``). Running the checked
+    chain under the chain_star default would make a green hash an accident
+    of fixture density: chain_star provably omits pairs in buckets of ≥ 4
+    docs. chain_star keeps its own driver query (``lsh_sql_pairs_chain``)
+    whose oracle mirrors its lag/first window math exactly.
+    """
+    import dataclasses
+
     from pyspark.storagelevel import StorageLevel
 
     cfg = cfg or DedupeConfig()
+    cfg = dataclasses.replace(cfg, pair_topology="all_pairs")
     cfg.validate()
     sigs = sql_sketch(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     if stop_after == "signatures":

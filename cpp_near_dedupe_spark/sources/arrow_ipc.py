@@ -90,9 +90,14 @@ def read_arrow_ipc(
 
     spark_schema = from_arrow_schema(out_schema)
 
+    # one file per task up to a multiple of the cluster's parallelism;
+    # beyond that, multiple files per task (10⁶ input files must not
+    # become 10⁶ scheduler tasks — the per-task loop below already
+    # iterates over every file row it receives)
+    n_parts = min(len(files), 4 * spark.sparkContext.defaultParallelism)
     paths = spark.createDataFrame(
         [(i, p) for i, p in enumerate(files)], "file_index long, path string"
-    ).repartition(len(files))
+    ).repartition(n_parts)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -113,15 +118,171 @@ def read_arrow_ipc(
                         ]
                         if add_doc_id:
                             arrays.append(pa.array((fi << _ROW_BITS) | row_no))
-                        arrays += [
-                            rb.column(rb.schema.get_field_index(n_)) for n_ in names
-                        ]
+                        # resolve each name explicitly: get_field_index
+                        # returns -1 for a column missing from THIS file
+                        # (heterogeneous directory), and pyarrow's negative
+                        # indexing would silently return the LAST column
+                        for n_ in names:
+                            idx = rb.schema.get_field_index(n_)
+                            if idx < 0:
+                                raise KeyError(
+                                    f"column {n_!r} missing from {path} "
+                                    f"(schema: {rb.schema.names})"
+                                )
+                            arrays.append(rb.column(idx))
                         yield pa.RecordBatch.from_arrays(
                             arrays, schema=out_schema
                         )
                         offset += n
 
     return paths.mapInArrow(scan, schema=spark_schema)
+
+
+def write_arrow_ipc(
+    df: "DataFrame",
+    in_base: str,
+    out_base: str,
+    ext: str = ".arrow",
+    drop_columns: tuple[str, ...] = ("file_index", "row_number"),
+    write_empty_files: bool = True,
+) -> "DataFrame":
+    """Mirrored-tree Arrow IPC *output* writer — the reference's output
+    format: the deduped survivors of each input file are written back as
+    one .arrow stream file at the SAME relative path under ``out_base``
+    (`/root/reference/CPPDeduper/DupeResolverThread.h:138-196`), schema
+    passed through from the data columns (`:215-218`), rows in original
+    file order.
+
+    ``df`` must carry ``file_index`` and ``row_number`` as produced by
+    ``read_arrow_ipc``; those scan-identity columns are dropped from the
+    output (``drop_columns`` — inputs read in no-id-column mode should add
+    the derived ``doc_id`` to it). Input files whose rows were ALL deduped
+    away still get a
+    schema-only stream file so the output tree mirrors the input 1:1
+    (skippable via ``write_empty_files``).
+
+    Physical shape: rows are hash-repartitioned on ``file_index`` (each
+    input file's survivors land wholly in one task; task count capped at
+    a multiple of cluster parallelism) and sorted within the partition by
+    (file_index, row_number); the task streams batches into one IPC writer
+    per file, switching writers on file_index change — memory is one Arrow
+    batch, never a whole file. Each file is written to a temp path and
+    atomically renamed, so task retries cannot leave torn outputs.
+
+    Returns a (file_index, path, rows) DataFrame — one row per written
+    file; the caller triggers the job by consuming it (e.g. via
+    ``validate_arrow_ipc`` below, the reference's re-read validation pass,
+    `DupeResolverThread.h:399-428`).
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    files = (
+        [in_base] if os.path.isfile(in_base) else discover_arrow_files(in_base, ext)
+    )
+    if not files:
+        raise FileNotFoundError(f"no *{ext} files under {in_base}")
+    base_dir = os.path.dirname(in_base) if os.path.isfile(in_base) else in_base
+    rel_paths = [os.path.relpath(p, base_dir) for p in files]
+
+    missing = [c for c in ("file_index", "row_number") if c not in df.columns]
+    if missing:
+        raise KeyError(f"df lacks identity columns {missing} (use read_arrow_ipc)")
+    data_cols = [c for c in df.columns if c not in drop_columns]
+    out = df.select("file_index", "row_number", *data_cols)
+    arrow_schema = to_arrow_schema(out.schema)
+    data_schema = pa.schema([arrow_schema.field(c) for c in data_cols])
+
+    spark = df.sparkSession
+    n_parts = min(len(files), 4 * spark.sparkContext.defaultParallelism)
+    out = out.repartition(n_parts, "file_index").sortWithinPartitions(
+        "file_index", "row_number"
+    )
+
+    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        results: list[tuple[int, str, int]] = []
+        cur_fi, writer, sink, tmp, final, rows = -1, None, None, None, None, 0
+
+        def close_current():
+            nonlocal writer, sink, rows
+            if writer is not None:
+                writer.close()
+                sink.close()
+                os.replace(tmp, final)
+                results.append((cur_fi, final, rows))
+                writer, sink, rows = None, None, 0
+
+        def open_for(fi: int):
+            nonlocal cur_fi, writer, sink, tmp, final
+            cur_fi = fi
+            final = os.path.join(out_base, rel_paths[fi])
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            tmp = final + ".inprogress"
+            sink = pa.OSFile(tmp, "wb")
+            writer = pa.ipc.new_stream(sink, data_schema)
+
+        for b in batches:
+            fi_arr = b.column("file_index").to_numpy(zero_copy_only=False)
+            data = pa.RecordBatch.from_arrays(
+                [b.column(c) for c in data_cols], schema=data_schema
+            )
+            # a batch may span a file boundary: split on file_index runs
+            start = 0
+            for i in range(1, len(fi_arr) + 1):
+                if i == len(fi_arr) or fi_arr[i] != fi_arr[start]:
+                    fi = int(fi_arr[start])
+                    if fi != cur_fi:
+                        close_current()
+                        open_for(fi)
+                    chunk = data.slice(start, i - start)
+                    writer.write_batch(chunk)
+                    rows += chunk.num_rows
+                    start = i
+        close_current()
+        if results:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in results], pa.int64()),
+                    pa.array([r[1] for r in results], pa.string()),
+                    pa.array([r[2] for r in results], pa.int64()),
+                ],
+                names=["file_index", "path", "rows"],
+            )
+
+    summary = out.mapInArrow(
+        write, schema="file_index long, path string, rows long"
+    ).persist()
+    written = {r.file_index for r in summary.select("file_index").collect()}
+
+    if write_empty_files:
+        # inputs with zero survivors: schema-only streams, driver-side
+        # (the set is the complement of the written files — normally tiny)
+        for fi, rel in enumerate(rel_paths):
+            if fi in written:
+                continue
+            final = os.path.join(out_base, rel)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            tmp = final + ".inprogress"
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_stream(sink, data_schema):
+                    pass
+            os.replace(tmp, final)
+    return summary
+
+
+def validate_arrow_ipc(
+    spark: SparkSession, out_base: str, expected_rows: int, ext: str = ".arrow"
+) -> int:
+    """Post-write validation: re-read the output tree and compare the row
+    count against the expected survivor count — the reference ships (but
+    disables) the same re-read pass (`DupeResolverThread.h:399-428`); here
+    it is cheap (count() over the pruned scan) and enabled."""
+    actual = read_arrow_ipc(spark, out_base, columns=[], ext=ext).count()
+    if actual != expected_rows:
+        raise ValueError(
+            f"arrow output validation failed: wrote {actual} rows under "
+            f"{out_base}, expected {expected_rows}"
+        )
+    return actual
 
 
 def write_arrow_ipc_fixture(

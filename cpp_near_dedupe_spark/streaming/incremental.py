@@ -48,12 +48,16 @@ class SignatureState:
         self.bands_path = os.path.join(root, "bands")
 
     def exists(self) -> bool:
+        self._recover(self.sig_path)
+        self._recover(self.bands_path)
         return os.path.exists(os.path.join(self.sig_path, "_SUCCESS"))
 
     def signatures(self) -> DataFrame:
+        self._recover(self.sig_path)
         return self.spark.read.parquet(self.sig_path)
 
     def bands(self) -> DataFrame:
+        self._recover(self.bands_path)
         return self.spark.read.parquet(self.bands_path)
 
     def append(self, signatures: DataFrame, bands: DataFrame) -> None:
@@ -65,23 +69,43 @@ class SignatureState:
         Every micro-batch append adds a handful of small files; after many
         epochs the candidate join against state pays one scan task per
         tiny file. Compaction is an offline maintenance pass (the Iceberg
-        analogue is rewrite_data_files): write to a sibling dir, then
-        atomically swap, so a crash mid-compact never corrupts state."""
+        analogue is rewrite_data_files).
+
+        Crash safety: the swap is two renames, not one atomic operation —
+        a crash between them leaves the live dir missing but the previous
+        state intact under ``_old``; ``_recover()`` (called here and on
+        every read) renames it back. Stale ``_compacting``/``_old``
+        leftovers from prior crashes are cleared up-front, so compact
+        always starts from a clean slate instead of raising."""
         import shutil
 
         for path in (self.sig_path, self.bands_path):
+            self._recover(path)
+            tmp, old = path + "_compacting", path + "_old"
+            shutil.rmtree(tmp, ignore_errors=True)  # stale half-written rewrite
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 continue
             df = self.spark.read.parquet(path)
             n = target_partitions or max(
                 2, self.spark.sparkContext.defaultParallelism
             )
-            tmp = path + "_compacting"
             df.repartition(n).write.mode("overwrite").parquet(tmp)
-            old = path + "_old"
             os.rename(path, old)
-            os.rename(tmp, path)
+            os.rename(tmp, path)  # crash before this line -> _recover undoes
             shutil.rmtree(old)
+
+    @staticmethod
+    def _recover(path: str) -> None:
+        """If a prior compact crashed between its two renames (live dir
+        missing, ``_old`` present), restore the previous state."""
+        import shutil
+
+        old = path + "_old"
+        if os.path.exists(old):
+            if os.path.exists(path):
+                shutil.rmtree(old)  # crash after the swap completed
+            else:
+                os.rename(old, path)
 
 
 def dedupe_increment(

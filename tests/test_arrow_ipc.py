@@ -16,6 +16,8 @@ import pytest
 from cpp_near_dedupe_spark.sources.arrow_ipc import (
     discover_arrow_files,
     read_arrow_ipc,
+    validate_arrow_ipc,
+    write_arrow_ipc,
     write_arrow_ipc_fixture,
 )
 
@@ -82,6 +84,70 @@ def test_column_projection_errors(spark, fixture_dir):
         read_arrow_ipc(spark, fixture_dir, columns=["nope"])
     with pytest.raises(FileNotFoundError):
         read_arrow_ipc(spark, "/tmp/definitely_empty_dir_xyz")
+
+
+def test_write_mirrored_tree_roundtrip(spark, fixture_dir, tmp_path):
+    """The reference's .arrow → dedupe → .arrow workflow end-to-end
+    (`DupeResolverThread.h:138-196`): read the stream fixture, dedupe,
+    write survivors back mirroring the input tree, re-read and match the
+    kept set; post-write row-count validation included (`:399-428`)."""
+    from cpp_near_dedupe_spark.config import DedupeConfig
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+    from pyspark.sql import functions as F
+
+    out_dir = str(tmp_path / "deduped")
+    docs = read_arrow_ipc(spark, fixture_dir)
+    cfg = DedupeConfig(id_col="doc_id", text_col="text")
+    res = run_pipeline(spark, docs.select("doc_id", "text"), cfg)
+    kept = docs.join(
+        res.resolved.filter(F.col("is_kept")).select("doc_id"), "doc_id", "left_semi"
+    )
+    n_kept = kept.count()
+    assert n_kept < docs.count()  # the corpus has near-dups
+
+    summary = write_arrow_ipc(kept, fixture_dir, out_dir).toPandas()
+    # mirrored tree: same relative paths as the input files
+    in_files = discover_arrow_files(fixture_dir)
+    out_files = discover_arrow_files(out_dir)
+    assert [os.path.relpath(p, out_dir) for p in out_files] == [
+        os.path.relpath(p, fixture_dir) for p in in_files
+    ]
+    assert summary.rows.sum() == n_kept
+    # re-read validation (reference's post-write pass, enabled here)
+    assert validate_arrow_ipc(spark, out_dir, n_kept) == n_kept
+
+    # survivors match the kept set exactly, schema passed through
+    back = read_arrow_ipc(spark, out_dir).toPandas()
+    kept_pdf = kept.toPandas()
+    assert sorted(back.doc_id) == sorted(kept_pdf.doc_id)
+    assert set(back.columns) >= set(kept_pdf.columns) - {"file_index", "row_number"}
+    a = back.sort_values("doc_id").reset_index(drop=True)
+    b = kept_pdf.sort_values("doc_id").reset_index(drop=True)
+    assert a.text.tolist() == b.text.tolist()
+
+
+def test_write_empty_file_mirrored(spark, tmp_path):
+    """An input file whose rows are ALL deduped away still yields a
+    schema-only stream file, keeping the tree mirror 1:1."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": ["x", "y"]})
+    for i in range(2):
+        with pa.OSFile(os.path.join(src, f"f{i}.arrow"), "wb") as sink:
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl.slice(i, 1))
+    df = read_arrow_ipc(spark, src)
+    survivors = df.filter(df.file_index == 0)  # file 1 loses everything
+    out = str(tmp_path / "out")
+    write_arrow_ipc(survivors, src, out).collect()
+    assert sorted(os.listdir(out)) == ["f0.arrow", "f1.arrow"]
+    back = read_arrow_ipc(spark, out).toPandas()
+    assert back.doc_id.tolist() == [0]
+    assert validate_arrow_ipc(spark, out, 1) == 1
+    with pytest.raises(ValueError):
+        validate_arrow_ipc(spark, out, 2)
 
 
 def test_e2e_dedupe_over_arrow_input(spark, fixture_dir):

@@ -1,0 +1,156 @@
+"""Strict arrival-order greedy resolution (operators/greedy.py) — the
+reference's exact keep/drop semantics (`ComparerThread.h:271-414`), pinned
+against a sequential Python oracle, plus the incremental mode's
+arrival-order discrimination between retained and dropped state docs.
+"""
+
+from collections import defaultdict
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_near_dedupe_spark.config import DedupeConfig
+from cpp_near_dedupe_spark.operators.greedy import greedy_resolve
+
+CFG = DedupeConfig(id_col="doc_id", text_col="text")
+
+
+def _py_greedy(ids, edges):
+    """The reference's sequential pass: in arrival order, drop a doc iff it
+    matches an already-retained earlier doc."""
+    earlier = defaultdict(set)
+    for a, b in edges:
+        lo, hi = (a, b) if a < b else (b, a)
+        earlier[hi].add(lo)
+    retained = set()
+    for d in sorted(ids):
+        if not earlier[d] & retained:
+            retained.add(d)
+    return retained
+
+
+def _ids_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame([(a, b) for a, b in edges], "a long, b long")
+
+
+def test_chain_differs_from_cc(spark):
+    """A~B, B~C, no A~C: CC drops B and C; greedy keeps C (its only match
+    B was itself dropped) — the defining divergence of the two semantics."""
+    ids = [1, 2, 3]
+    out = greedy_resolve(
+        _ids_df(spark, ids), _edges_df(spark, [(1, 2), (2, 3)]), CFG
+    ).toPandas()
+    kept = set(out[out.is_kept].doc_id)
+    assert kept == {1, 3}
+    from cpp_near_dedupe_spark.operators.clustering import connected_components
+
+    cc = connected_components(_edges_df(spark, [(1, 2), (2, 3)])).toPandas()
+    assert set(cc[cc.id != cc.cluster_id].id) == {2, 3}  # CC drops both
+
+
+def test_clique_and_singletons(spark):
+    ids = range(10)
+    # clique 0-1-2 (all pairs), edge-free docs 3..9
+    out = greedy_resolve(
+        _ids_df(spark, ids), _edges_df(spark, [(0, 1), (0, 2), (1, 2)]), CFG
+    ).toPandas()
+    assert set(out[out.is_kept].doc_id) == {0, 3, 4, 5, 6, 7, 8, 9}
+    assert len(out) == 10
+
+
+def test_long_decision_chain(spark):
+    """Alternating keep/drop down a 40-doc chain — exercises many rounds."""
+    n = 40
+    edges = [(i, i + 1) for i in range(n - 1)]
+    out = greedy_resolve(_ids_df(spark, range(n)), _edges_df(spark, edges), CFG)
+    kept = set(out.toPandas().query("is_kept").doc_id)
+    assert kept == set(range(0, n, 2))
+
+
+def test_matches_python_oracle_on_pipeline_edges(spark, pages_600):
+    """End-to-end: real pipeline edges over the labeled corpus; the
+    distributed fixed-point must equal the sequential reference pass."""
+    from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(pages_600)), "text": pages_600.text.values})
+    )
+    res = run_pipeline(spark, docs, CFG, stop_after="edges")
+    edge_list = [(r.a, r.b) for r in res.edges.select("a", "b").collect()]
+    expected = _py_greedy(range(len(pages_600)), edge_list)
+
+    out = greedy_resolve(docs, res.edges.select("a", "b"), CFG).toPandas()
+    assert set(out[out.is_kept].doc_id) == expected
+    assert len(out) == len(pages_600)
+
+
+def test_incremental_drops_only_vs_retained(spark, tmp_path):
+    """Reference arrival-order semantics across batches
+    (`ComparerThread.h:271-414`): a batch-2 doc near-duplicating a batch-1
+    RETAINED doc is dropped; one near-duplicating only a batch-1 DROPPED
+    doc is kept (the dropped doc is not in the retained state)."""
+    from cpp_near_dedupe_spark.streaming.incremental import (
+        SignatureState,
+        dedupe_increment,
+    )
+
+    toks = [f"w{i}" for i in range(400)]
+    d1 = " ".join(toks)
+    # d2: first 60 tokens replaced -> J(d1,d2) ~ 0.72 (dup of d1, dropped)
+    d2 = " ".join([f"x{i}" for i in range(60)] + toks[60:])
+    # d11: d2 with the LAST 60 tokens also replaced -> near-dup of d2
+    # (~0.72) but J vs d1 ~ 0.5 (two disjoint 60-token blocks differ)
+    d11 = " ".join([f"x{i}" for i in range(60)] + toks[60:340] + [f"y{i}" for i in range(60)])
+    # d10: exact copy of d1 (dup of the RETAINED doc)
+    state = SignatureState(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    kept1 = dedupe_increment(spark, b1, state, CFG)
+    assert {r.doc_id for r in kept1.collect()} == {1}  # d2 dropped vs d1
+
+    b2 = spark.createDataFrame([(10, d1), (11, d11)], "doc_id long, text string")
+    kept2 = dedupe_increment(spark, b2, state, CFG)
+    # 10 matches retained doc 1 -> dropped; 11 matches only DROPPED doc 2
+    # -> kept (this is what distinguishes arrival-order from CC semantics)
+    assert {r.doc_id for r in kept2.collect()} == {11}
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A crash between compact's two renames (live dir missing, _old
+    present) must be recovered on the next use; stale _compacting dirs
+    must not break the next compact (ADVICE r2)."""
+    import os
+    import shutil
+
+    from cpp_near_dedupe_spark.streaming.incremental import (
+        SignatureState,
+        dedupe_increment,
+    )
+
+    text = " ".join(f"w{i % 97}" for i in range(300))
+    state = SignatureState(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    dedupe_increment(spark, b1, state, CFG)
+    before = state.signatures().toPandas().sort_values("doc_id")
+
+    # simulate the crash window: live dir renamed away, _old left behind
+    os.rename(state.sig_path, state.sig_path + "_old")
+    assert state.exists()  # recovery happens on access
+    after = state.signatures().toPandas().sort_values("doc_id")
+    assert list(before.doc_id) == list(after.doc_id)
+    assert not os.path.exists(state.sig_path + "_old")
+
+    # stale _compacting junk from a crashed rewrite must be cleared
+    os.makedirs(state.sig_path + "_compacting/junk")
+    state.compact(target_partitions=1)
+    assert not os.path.exists(state.sig_path + "_compacting")
+    assert list(state.signatures().toPandas().sort_values("doc_id").doc_id) == [1]
+
+    # the recovered+compacted state still serves batches
+    b2 = spark.createDataFrame([(2, text)], "doc_id long, text string")
+    kept = dedupe_increment(spark, b2, state, CFG)
+    assert kept.count() == 0

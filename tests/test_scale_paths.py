@@ -1,0 +1,153 @@
+"""Scale-path regression pins for the two 100×-skew soft spots fixed in r3:
+
+1. chain_star's window salting — one degenerate band key (boilerplate at
+   web scale) must not land in a single window task (AQE does NOT split
+   window partitions), while the bucket stays one connected candidate
+   group with O(h) pairs.
+2. the identical-sketch collapse bound — a mega exact-dupe family must not
+   be materialized as one collect_list row; over-cap families route
+   through the join-back path with identical results.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_near_dedupe_spark.config import DedupeConfig
+from cpp_near_dedupe_spark.operators.pairs import candidate_pairs
+from cpp_near_dedupe_spark.plans.pipeline import signature_reps
+
+CFG = DedupeConfig(id_col="doc_id", text_col="text")
+
+
+def _union_find_components(pairs, ids):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {i: find(i) for i in ids}
+
+
+@pytest.fixture(scope="module")
+def hot_bands(spark):
+    # one degenerate bucket of 10,000 docs plus a handful of cold buckets
+    hot = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.lit("HOTKEY").alias("band_key"),
+    )
+    cold = spark.range(10_000, 10_020).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("band_id"),
+        F.concat(F.lit("cold_"), (F.col("id") % 5).cast("string")).alias("band_key"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_chain_star_hot_bucket_is_salted_but_connected(spark, hot_bands):
+    cfg = DedupeConfig(id_col="doc_id", hot_band_cap=256)
+    pairs = candidate_pairs(hot_bands, cfg).toPandas()
+    h = 10_000
+    # linear cost: chain + star within sub-buckets + sub-min links,
+    # never anywhere near h^2/2
+    assert len(pairs) <= 3 * (h + 20)
+    # the bucket was NOT processed as one ordered run: a single-task window
+    # would chain every consecutive id; salting must break that
+    pair_set = set(zip(pairs.a, pairs.b))
+    consecutive = sum((i, i + 1) in pair_set for i in range(h - 1))
+    assert consecutive < h - 1, "hot bucket ran as a single window partition"
+    # ...while staying ONE connected candidate group (nothing dropped)
+    hot_pairs = {(a, b) for a, b in pair_set if b < h}
+    comp = _union_find_components(hot_pairs, range(h))
+    assert len(set(comp.values())) == 1
+    # cold buckets are untouched by the hot machinery: plain chain+star
+    cold_pairs = {(a, b) for a, b in pair_set if a >= h}
+    for i in range(5):
+        members = sorted(range(10_000 + i, 10_020, 5))
+        for x, y in zip(members, members[1:]):
+            assert (x, y) in cold_pairs
+
+
+def test_chain_star_salting_matches_unsalted_connectivity(spark, hot_bands):
+    # raising the cap above the bucket size disables salting; both variants
+    # must produce the same connected components over the same bucket
+    lo = candidate_pairs(hot_bands, DedupeConfig(id_col="doc_id", hot_band_cap=100))
+    hi = candidate_pairs(
+        hot_bands, DedupeConfig(id_col="doc_id", hot_band_cap=1_000_000)
+    )
+    ids = range(10_020)
+    comp_lo = _union_find_components(
+        set(map(tuple, lo.toPandas().values)), ids
+    )
+    comp_hi = _union_find_components(
+        set(map(tuple, hi.toPandas().values)), ids
+    )
+    group = lambda c: sorted(
+        tuple(sorted(k for k, v in c.items() if v == r)) for r in set(c.values())
+    )
+    assert group(comp_lo) == group(comp_hi)
+
+
+@pytest.fixture(scope="module")
+def family_sigs(spark):
+    # 100k-member exact-dupe family + 50 singletons, as sketch output
+    fam = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(2).alias("sig_len"),
+        F.array(F.lit("f1"), F.lit("f2")).alias("signature"),
+    )
+    singles = spark.range(100_000, 100_050).select(
+        F.col("id").alias("doc_id"),
+        F.lit(2).alias("sig_len"),
+        F.array(F.concat(F.lit("s"), F.col("id").cast("string")), F.lit("z")).alias(
+            "signature"
+        ),
+    )
+    return fam.unionByName(singles)
+
+
+def test_signature_reps_mega_family_bounded(spark, family_sigs):
+    # cap far below the family size: the family must go through the
+    # join-back (no 100k-id collect_list row) and still map every member
+    # to the family minimum
+    cfg = DedupeConfig(id_col="doc_id", sig_collapse_cap=64)
+    reps = signature_reps(family_sigs, cfg)
+    agg = reps.groupBy("rep_id").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    rows = {r.rep_id: r for r in agg.collect()}
+    assert rows[0].n == 100_000 and rows[0].lo == 0 and rows[0].hi == 99_999
+    for rid in range(100_000, 100_050):
+        assert rows[rid].n == 1
+
+
+def test_signature_reps_cap_invariant(spark, family_sigs):
+    # physical routing must not change the logical result
+    small = signature_reps(
+        family_sigs, DedupeConfig(id_col="doc_id", sig_collapse_cap=1)
+    )
+    large = signature_reps(
+        family_sigs, DedupeConfig(id_col="doc_id", sig_collapse_cap=10_000_000)
+    )
+    pd.testing.assert_frame_equal(
+        small.toPandas().sort_values("doc_id").reset_index(drop=True),
+        large.toPandas().sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_signature_reps_empty_sketches_excluded(spark):
+    sigs = spark.createDataFrame(
+        [(1, 0, []), (2, 1, ["a"]), (3, 1, ["a"])],
+        "doc_id long, sig_len int, signature array<string>",
+    )
+    out = signature_reps(sigs, CFG).toPandas().sort_values("doc_id")
+    assert out.doc_id.tolist() == [2, 3]
+    assert out.rep_id.tolist() == [2, 2]
