@@ -89,7 +89,10 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.pairs import candidate_pairs
 
     sigs = sketch_documents(_docs(spark, sf_dir), CFG)
-    return candidate_pairs(explode_bands(sigs, CFG), CFG)
+    # candidate_pairs consumes bands more than once (bucket sizes + the
+    # salted window + the hot-link aggregates); persist like the pipeline
+    bands = explode_bands(sigs, CFG).persist()
+    return candidate_pairs(bands, CFG)
 
 
 def _q_lsh_dupe_edges(spark, sf_dir):
@@ -197,6 +200,19 @@ def _q_simhash_dupe_pairs(spark, sf_dir):
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _q_simhash_sql(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.simhash import simhash_sql_fingerprint
+
+    return simhash_sql_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_simhash_sql_pairs(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.simhash import simhash_sql_pairs
+
+    out = simhash_sql_pairs(_dense_docs(spark, sf_dir), max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_ann_topk(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.embedding_ann import brute_force_topk
 
@@ -270,7 +286,10 @@ def _q_incremental_dedupe(spark, sf_dir):
     shutil.rmtree(state_dir, ignore_errors=True)
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    # split point from parquet footer metadata — O(1) driver read, no job
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     first = docs.filter(F.col("doc_id") < n // 2)
     second = docs.filter(F.col("doc_id") >= n // 2)
     state = SignatureState(spark, state_dir)
@@ -569,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
         "simhash": _q_simhash,
         "simhash_dupe_pairs": _q_simhash_dupe_pairs,
+        "simhash_sql": _q_simhash_sql,
+        "simhash_sql_pairs": _q_simhash_sql_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "binary_features": _q_binary_features,
@@ -872,6 +893,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.a AS a, l.a + 1 AS b,
                    round(jaro_winkler_similarity(l.s, r.s), 6) AS jw
             FROM p l JOIN p r ON r.a = l.a + 1
+        """,
+        "simhash_sql": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            th AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+            votes AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, range(0, 60) r(b) GROUP BY doc_id, b),
+            fp AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id
+        """,
+        "simhash_sql_pairs": f"""
+            WITH {_DENSE_CTE},
+            toks AS (SELECT doc_id, {_TOKS} AS t FROM documents_dense),
+            th AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+            votes AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, range(0, 60) r(b) GROUP BY doc_id, b),
+            fp0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+            fp AS (
+              SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+              FROM documents_dense d LEFT JOIN fp0 f ON f.doc_id = d.doc_id),
+            bands AS (
+              SELECT doc_id, b AS band_id, (simhash >> (15 * b)) & 32767 AS band_key
+              FROM fp, range(0, 4) r(b)),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_key = r.band_key
+                   AND l.doc_id < r.doc_id)
+            SELECT c.a, c.b, bit_count(xor(fa.simhash, fb.simhash)) AS hamming
+            FROM cand c
+            JOIN fp fa ON fa.doc_id = c.a JOIN fp fb ON fb.doc_id = c.b
+            WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
         """,
         "ann_topk": """
             WITH scored AS (

@@ -169,37 +169,50 @@ def _chain_star_pairs(
         .select("band_key", "bucket_size")
         .persist()
     )
+    # adaptive plan choice (one tiny driver action over the aggregated
+    # hot-key list — the AQE-style runtime decision Spark cannot make for
+    # window partitions): when NO bucket exceeds the cap, the whole salting
+    # apparatus (broadcast routing join, link aggregates, union) is dead
+    # weight — emit the plain single-window plan instead.
+    if hot_keys.limit(1).count() == 0:
+        hot_keys.unpersist()
+        return _chain_star_window(
+            bands.select("band_key", id_col), id_col, ["band_key"]
+        ).dropDuplicates(["a", "b"])
 
-    slim = bands.select("band_key", id_col)
-    cold = slim.join(F.broadcast(hot_keys.select("band_key")), ["band_key"], "left_anti")
-    cold_pairs = _chain_star_window(cold, id_col, ["band_key"])
-
-    # hot path: sub-bucket the window partition so one degenerate band key
-    # cannot occupy a single straggler task
-    # inner join doubles as the semi-filter and attaches bucket_size
-    hot = slim.join(F.broadcast(hot_keys), ["band_key"])
+    # ONE broadcast left join routes every row: cold rows (the vast
+    # majority) get salt 0, i.e. the plain per-bucket window; over-cap rows
+    # are split into ⌈h/cap⌉ sub-buckets of ~cap expected rows. Same single
+    # window pass either way — the hot machinery adds no extra shuffle of
+    # the bands table.
     n_salts = F.floor((F.col("bucket_size") + cap - 1) / cap).cast("long")
-    salted = hot.select(
+    salted = bands.select("band_key", id_col).join(
+        F.broadcast(hot_keys), ["band_key"], "left"
+    ).select(
         "band_key",
         id_col,
-        F.pmod(F.xxhash64(F.col(id_col)), n_salts).alias("salt"),
+        F.when(F.col("bucket_size").isNull(), F.lit(0))
+        .otherwise(F.pmod(F.xxhash64(F.col(id_col)), n_salts))
+        .alias("salt"),
     )
-    hot_pairs = _chain_star_window(salted, id_col, ["band_key", "salt"])
-    # link each sub-bucket minimum to the bucket's global minimum (a < b
-    # holds: the global min is ≤ every sub-bucket min)
-    sub_mins = salted.groupBy("band_key", "salt").agg(F.min(id_col).alias("b"))
-    g_mins = salted.groupBy("band_key").agg(F.min(id_col).alias("a"))
+    pairs = _chain_star_window(salted, id_col, ["band_key", "salt"])
+
+    # link each hot sub-bucket minimum to its bucket's global minimum so a
+    # salted bucket stays ONE connected candidate group (a < b holds: the
+    # global min is ≤ every sub-bucket min). Both aggregates run on the
+    # (tiny) hot subset only.
+    hot_rows = salted.join(
+        F.broadcast(hot_keys.select("band_key")), ["band_key"], "left_semi"
+    )
+    sub_mins = hot_rows.groupBy("band_key", "salt").agg(F.min(id_col).alias("b"))
+    g_mins = hot_rows.groupBy("band_key").agg(F.min(id_col).alias("a"))
     links = (
         sub_mins.join(g_mins, "band_key")
         .filter(F.col("a") != F.col("b"))
         .select("a", "b")
     )
 
-    return (
-        cold_pairs.unionByName(hot_pairs)
-        .unionByName(links)
-        .dropDuplicates(["a", "b"])
-    )
+    return pairs.unionByName(links).dropDuplicates(["a", "b"])
 
 
 def hot_bucket_stats(

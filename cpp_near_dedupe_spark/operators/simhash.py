@@ -100,6 +100,99 @@ def simhash_bands(sims: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out
 
 
+def simhash_sql_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+) -> DataFrame:
+    """SQL-expressible simhash twin: the same Charikar weighted-bit-vote
+    construction as ``simhash_batch`` — per-token hash, ±tf vote per bit,
+    sign-pack — but over the regex tokenizer and a 60-bit md5-derived token
+    hash, entirely in built-in expressions, so a DuckDB oracle can mirror
+    it bit-for-bit (60 bits: 15 md5 hex chars parse into a BIGINT without
+    overflow in either engine). The parity simhash (XXH64 over the
+    reference tokenizer) stays the production twin; this one gives the
+    vote/sign/packing semantics a driver hash check.
+
+    Physical shape: explode tokens → one hash aggregation computing all
+    60 bit votes map-side (no per-bit passes), then a JVM expression packs
+    the signs. Docs with no tokens get fingerprint 0 (matching
+    ``simhash_batch``) via the left join."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    tok = docs.select(id_col, F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    th = tok.select(id_col, h.alias("h"))
+    votes = th.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    sims = votes.select(id_col, fp.alias("simhash"))
+    return docs.select(id_col).join(sims, id_col, "left").select(
+        id_col, F.coalesce("simhash", F.lit(0)).alias("simhash")
+    )
+
+
+def simhash_sql_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hamming-≤3 pairs over the SQL-expressible fingerprint: 4 × 15-bit
+    band blocking (Manku: Hamming ≤ 3 ⇒ at least one band equal) + exact
+    JVM bit_count verification — the same blocking shape as
+    ``simhash_candidate_pairs``, with a full DuckDB oracle."""
+    sims = simhash_sql_fingerprint(docs, id_col, text_col).persist()
+    pieces = [
+        sims.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.shiftright("simhash", 15 * b).bitwiseAND(F.lit(0x7FFF)).alias(
+                "band_key"
+            ),
+        )
+        for b in range(4)
+    ]
+    bands = pieces[0]
+    for p in pieces[1:]:
+        bands = bands.unionByName(p)
+    left = bands.select("band_id", "band_key", F.col(id_col).alias("a"))
+    right = bands.select("band_id", "band_key", F.col(id_col).alias("b"))
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sims.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"))
+    sb = sims.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
 def simhash_candidate_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

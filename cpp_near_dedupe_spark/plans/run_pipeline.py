@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-bucket candidate topology (default: DedupeConfig)")
     p.add_argument("--master", default=None, help="e.g. local[8]; default from session")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--progress-interval", type=float, default=10.0,
+                   help="seconds between live progress lines on stderr "
+                        "(reference's 10 s ticker); 0 disables")
     args = p.parse_args(argv)
 
     from ..config import DedupeConfig
@@ -71,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    from .telemetry import ProgressTicker
+
+    ticker = None
+    if args.progress_interval > 0:
+        ticker = ProgressTicker(spark, interval=args.progress_interval).start()
+
     docs = with_doc_id(load_pages(spark, args.input), cfg)
     n_in = docs.count()
 
@@ -108,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
         "config_fingerprint": cfg.fingerprint(),
     }
     assert n_in - n_out == n_dupes, "dupe accounting mismatch"
+    if ticker is not None:
+        ticker.stop()
     print(json.dumps(summary))
     spark.stop()
     return 0
