@@ -231,6 +231,22 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """Inverted-file ANN (operators/embedding_ann.py ivf_topk): sampled
+    spherical-k-means codebook → nearest-list assignment → nprobe probe →
+    exact rescore. Driver-side k-means is not SQL-expressible → rows-only;
+    recall vs the exact oracle is measured in tests/test_ann_recall.py
+    (clustered corpus: higher recall per candidate scored than LSH; the
+    driver's near-uniform table has no locality for ANY index — the same
+    honest negative documented for ann_lsh_topk in BENCH/BASELINE.md)."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import ivf_topk
+
+    out = ivf_topk(_emb(spark, sf_dir), query_ids=range(20), k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_binary_features(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.multimodal import binary_features, with_binary_payload
 
@@ -401,6 +417,58 @@ _q_lsh_sql_pairs_capped = _q_pairs_topology("all_pairs", cap=4)
 _q_lsh_sql_pairs_chain = _q_pairs_topology("chain_star", cap=1_000_000)
 
 
+def _chain_docs(spark, sf_dir):
+    """documents ∪ two prefix-truncated copies — 4/5 and 13/20 of tokens —
+    of every 5th doc with 30-250 tokens (ids offset by 2·10⁶ / 4·10⁶;
+    mirrored by the oracle's documents_chain CTE). Prefix truncation keeps
+    the shingle-subset property, and the 30-250 token window keeps sketches
+    below the bottom-256 cap, so the copies score jaccard ≈ 0.80 (a~b) and
+    ≈ 0.81 (b~c) while a~c scores ≈ 0.65 — BELOW threshold even when its
+    bucket collides. The result is a~b~c duplicate CHAINS with no a~c edge:
+    the topology where strict arrival-order greedy (keep a and c, drop b)
+    provably diverges from connected-components (keep only a)."""
+    from cpp_near_dedupe_spark.plans.sql_mode import TOKEN_SPLIT
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    base = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t").between(30, 250))
+    )
+
+    def trunc(num: int, den: int, off: int):
+        n = F.greatest(F.lit(5), F.floor(F.size("t") * num / den)).cast("int")
+        return base.select(
+            (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+            F.array_join(F.slice("t", F.lit(1), n), " ").alias("text"),
+        )
+
+    return docs.unionByName(trunc(4, 5, 2_000_000)).unionByName(
+        trunc(13, 20, 4_000_000)
+    )
+
+
+def _q_lsh_sql_greedy_kept(spark, sf_dir):
+    """Strict arrival-order greedy resolve (operators/greedy.py — the
+    reference's per-doc keep/drop semantics, `ComparerThread.h:271-414`)
+    over the SQL-expressible edge chain, hash-verified END-TO-END: the
+    DuckDB oracle replays the same frontier fixed-point with a round-capped
+    list-state recursive CTE (single-row state carrying the kept/decided
+    sets, so the recursive term needs only one reference to the CTE —
+    DuckDB 1.0 compatible). The chained corpus (_chain_docs) guarantees
+    duplicate chains where greedy provably diverges from the CC resolve
+    that lsh_sql_dedupe_kept verifies (13 divergent docs at sf0.01), so a
+    green hash pins the greedy semantics specifically, not CC by accident."""
+    from cpp_near_dedupe_spark.operators.greedy import greedy_resolve
+    from cpp_near_dedupe_spark.plans.sql_mode import run_sql_pipeline
+
+    docs = _chain_docs(spark, sf_dir)
+    res = run_sql_pipeline(spark, docs, CFG, stop_after="edges")
+    out = greedy_resolve(docs, res.edges.select("a", "b"), CFG)
+    return out.filter(F.col("is_kept")).select("doc_id")
+
+
 def _q_minhash_perm_signatures(spark, sf_dir):
     """Classical 128-permutation MinHash (operators/minhash_perm.py):
     JVM-side universal-hash permutations over md5-based shingle hashes,
@@ -510,10 +578,11 @@ def _q_lsh_greedy_kept(spark, sf_dir):
     """Strict arrival-order greedy mode (operators/greedy.py): the
     reference's exact per-doc keep/drop semantics — drop iff ≥ threshold
     vs an already-RETAINED earlier doc (`ComparerThread.h:271-414`) — as a
-    distributed fixed-point over the pipeline's verified edges. The greedy
-    retained set (lexicographically-first MIS) is not SQL-expressible →
-    rows-only; pinned locally against a sequential Python oracle
-    (tests/test_greedy.py)."""
+    distributed fixed-point over the pipeline's verified edges. This row is
+    rows-only because the XXH64 parity edges feeding it are not
+    SQL-expressible; the greedy RESOLVE itself is hash-verified through
+    ``lsh_sql_greedy_kept`` (recursive-CTE oracle over the md5 chain) and
+    pinned locally against a sequential Python oracle (tests/test_greedy.py)."""
     from cpp_near_dedupe_spark.operators.greedy import greedy_resolve
     from cpp_near_dedupe_spark.plans.pipeline import run_pipeline
 
@@ -570,6 +639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_sql_pairs_dense": _q_lsh_sql_pairs_dense,
         "lsh_sql_pairs_capped": _q_lsh_sql_pairs_capped,
         "lsh_sql_pairs_chain": _q_lsh_sql_pairs_chain,
+        # greedy resolve over the chained corpus: its recursive-CTE oracle
+        # replays the same frontier fixed-point, and the fixture's a~b~c
+        # chains make greedy provably differ from CC there
+        "lsh_sql_greedy_kept": _q_lsh_sql_greedy_kept,
         "arrow_ipc_scan": _q_arrow_ipc_scan,
         "arrow_ipc_roundtrip": _q_arrow_ipc_roundtrip,
         "minhash_perm_signatures": _q_minhash_perm_signatures,
@@ -592,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sql_pairs": _q_simhash_sql_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "binary_features": _q_binary_features,
         "binary_decode_stub": _q_binary_decode_stub,
         "frame_offsets": _q_frame_offsets,
@@ -669,6 +743,59 @@ comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
 
 
 _SQLMODE_CTE = _sqlmode_cte()
+
+# mirror of _chain_docs: prefix-truncated copies (4/5 and 13/20 of tokens) of
+# every 5th doc with 30-250 tokens — a~b~c jaccard chains with no a~c edge,
+# the topology where greedy and connected-components provably diverge
+_CHAIN_CTE = f"""
+base_toks AS (
+  SELECT doc_id, t FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE doc_id % 5 = 0 AND len(t) BETWEEN 30 AND 250),
+documents_chain AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(t[1:greatest(5, (len(t) * 4) // 5)], ' ') AS text
+  FROM base_toks
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id,
+         array_to_string(t[1:greatest(5, (len(t) * 13) // 20)], ' ') AS text
+  FROM base_toks)
+"""
+
+# strict arrival-order greedy as a round-capped recursive CTE: the state is a
+# SINGLE ROW carrying (kept ids, decided ids) as lists, advanced one frontier
+# round per iteration — docs whose earlier neighbors are all decided become
+# decided; kept iff no earlier KEPT neighbor (`greedy.py` frontier rounds,
+# reference semantics `ComparerThread.h:271-414`). Single-row state means the
+# recursive term references the CTE exactly once (DuckDB 1.0 compatible);
+# termination: every round decides ≥1 doc, so len(dec) reaches the node count
+# (r < 64 is a safety cap matching greedy_resolve's max_rounds).
+_GREEDY_ORACLE = f"""
+    WITH RECURSIVE {_CHAIN_CTE},
+    {_sqlmode_cte("documents_chain")},
+    nodes AS (SELECT a AS id FROM dup UNION SELECT b AS id FROM dup),
+    st(r, kept, dec) AS (
+      SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT r + 1,
+        kept || coalesce((SELECT list(n.id) FROM nodes n
+           WHERE NOT list_contains(st.dec, n.id)
+             AND NOT EXISTS (SELECT 1 FROM dup e
+                             WHERE e.b = n.id AND NOT list_contains(st.dec, e.a))
+             AND NOT EXISTS (SELECT 1 FROM dup e
+                             WHERE e.b = n.id AND list_contains(st.kept, e.a))), []),
+        dec || coalesce((SELECT list(n.id) FROM nodes n
+           WHERE NOT list_contains(st.dec, n.id)
+             AND NOT EXISTS (SELECT 1 FROM dup e
+                             WHERE e.b = n.id AND NOT list_contains(st.dec, e.a))), [])
+      FROM st
+      WHERE r < 64 AND len(dec) < (SELECT count(*) FROM nodes)),
+    fin AS (SELECT kept, dec FROM st ORDER BY r DESC LIMIT 1)
+    SELECT d.doc_id
+    FROM documents_chain d, fin f
+    WHERE NOT list_contains(f.dec, d.doc_id) OR list_contains(f.kept, d.doc_id)
+"""
 
 # the tokenize→sketch→band prefix only (no pair/edge/CC CTEs) over the
 # densified corpus — the pair-topology oracles append their own pair math
@@ -778,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_sql_pairs_dense": _capped_pairs_oracle(DedupeConfig().hot_band_cap),
         "lsh_sql_pairs_capped": _capped_pairs_oracle(4),
         "lsh_sql_pairs_chain": _CHAIN_PAIRS_ORACLE,
+        "lsh_sql_greedy_kept": _GREEDY_ORACLE,
         "arrow_ipc_scan": """
             WITH ranked AS (
               SELECT doc_id, text,

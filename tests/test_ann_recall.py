@@ -88,3 +88,52 @@ def test_uniform_table_measured_not_asserted(spark):
     assert set(got.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
     assert (got.groupby("query_id")["rank"].max() <= 5).all()
     print(f"uniform-table recall@5 (n_tables=8, n_planes=8): {recall:.3f}")
+
+
+def test_ivf_clustered_recall_beats_candidate_budget(spark, clustered_emb):
+    """IVF on the clustered corpus: the k-means lists align with the real
+    clusters, so recall@5 stays ≥ 0.9 while each query scores only its
+    nprobe lists (≈ nprobe/n_centroids of the corpus on balanced lists) —
+    the data-adaptive counterpart of the hyperplane-LSH scale claim."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    n_queries, k = 20, 5
+    gold = brute_force_topk(clustered_emb, query_ids=range(n_queries), k=k).toPandas()
+    got = ivf_topk(
+        clustered_emb, query_ids=range(n_queries), k=k, n_centroids=32, nprobe=2
+    ).toPandas()
+    gs = set(zip(gold.query_id, gold.neighbor_id))
+    recall = len(gs & set(zip(got.query_id, got.neighbor_id))) / len(gs)
+    assert recall >= 0.9, f"IVF recall@5 {recall:.3f} < 0.9"
+
+    # candidate budget: nprobe lists per query, measured not assumed
+    cent = ivf_centroids(clustered_emb, n_centroids=32)
+    sizes = (
+        ivf_assign(clustered_emb, cent).groupBy("centroid_id").count().toPandas()
+    )
+    n = clustered_emb.count()
+    # even the 2 largest lists together stay well under the corpus
+    worst_frac = sizes["count"].nlargest(2).sum() / n
+    assert worst_frac < 0.35, f"2-list candidate budget {worst_frac:.3f} not sub-linear"
+
+
+def test_ivf_deterministic_and_wellformed(spark, clustered_emb):
+    """Same seed → identical codebook and identical top-k output; ranks
+    are dense 1..k per query."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import ivf_centroids, ivf_topk
+
+    c1 = ivf_centroids(clustered_emb, n_centroids=16, seed=7)
+    c2 = ivf_centroids(clustered_emb, n_centroids=16, seed=7)
+    assert np.allclose(c1, c2)
+
+    a = ivf_topk(clustered_emb, query_ids=range(5), k=5, n_centroids=16).toPandas()
+    b = ivf_topk(clustered_emb, query_ids=range(5), k=5, n_centroids=16).toPandas()
+    key = ["query_id", "rank"]
+    pd_a = a.sort_values(key).reset_index(drop=True)
+    pd_b = b.sort_values(key).reset_index(drop=True)
+    assert pd_a.equals(pd_b)
+    assert (a.groupby("query_id")["rank"].apply(lambda s: sorted(s) == [1, 2, 3, 4, 5])).all()

@@ -154,3 +154,34 @@ def test_compact_crash_recovery(spark, tmp_path):
     b2 = spark.createDataFrame([(2, text)], "doc_id long, text string")
     kept = dedupe_increment(spark, b2, state, CFG)
     assert kept.count() == 0
+
+
+def test_chained_corpus_pins_greedy_vs_cc_divergence(spark):
+    """The lsh_sql_greedy_kept fixture (__spark_entry__._chain_docs:
+    prefix-truncated 4/5 and 13/20 token copies) must produce a~b~c
+    jaccard chains with no a~c edge, where greedy keeps strictly MORE docs
+    than connected-components — otherwise the driver's hash-green row
+    would not distinguish the greedy semantics from CC. Also cross-checks
+    the distributed greedy against the sequential Python oracle on these
+    real pipeline edges."""
+    import __spark_entry__ as em
+    from cpp_near_dedupe_spark.operators.clustering import connected_components
+    from cpp_near_dedupe_spark.plans.sql_mode import run_sql_pipeline
+
+    docs = em._chain_docs(spark, "/root/testdata/sf0.01")
+    res = run_sql_pipeline(spark, docs, em.CFG, stop_after="edges")
+    edges = res.edges.select("a", "b").cache()
+    edge_list = [(r.a, r.b) for r in edges.collect()]
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    out = greedy_resolve(docs, edges, em.CFG).toPandas()
+    greedy_kept = set(out[out.is_kept].doc_id)
+    assert greedy_kept == _py_greedy(ids, edge_list)
+
+    cc = connected_components(edges, distinct_pairs=True).toPandas()
+    cc_dropped = set(cc[cc.id != cc.cluster_id].id)
+    cc_kept = set(ids) - cc_dropped
+    # strict superset: every CC-kept doc is greedy-kept, plus the chain
+    # endpoints whose only matches were themselves dropped
+    assert cc_kept < greedy_kept
+    assert len(greedy_kept - cc_kept) >= 5
