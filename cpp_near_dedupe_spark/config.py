@@ -57,12 +57,6 @@ class DedupeConfig:
     #                  maximal pairwise recall, O(h²) pairs per bucket.
     pair_topology: str = "chain_star"
     cc_max_iterations: int = 20         # large-star/small-star safety bound
-    # identical-sketch collapse (plans/pipeline.py): families at or below
-    # this size are grouped with a single collect_list aggregation (one
-    # shuffle, list bounded at cap·8 bytes); larger families — exact-dupe
-    # boilerplate repeated 10⁶-10⁷ times at web scale — are routed through
-    # a join-back that never materializes the member list in one row
-    sig_collapse_cap: int = 65536
     # "auto": repartition the (id, text) projection up to min(shuffle
     # partitions, cores) when the scan yields fewer splits (small-input
     # fixup only); "never": trust the scan's partitioning (the at-scale
@@ -89,9 +83,6 @@ class DedupeConfig:
             raise ValueError("sketch_repartition must be 'auto' or 'never'")
         if self.pair_topology not in ("all_pairs", "chain_star"):
             raise ValueError("pair_topology must be 'all_pairs' or 'chain_star'")
-        if self.sig_collapse_cap < 1:
-            raise ValueError("sig_collapse_cap must be >= 1")
-
     def fingerprint(self) -> str:
         """Stable hash of the semantics-bearing fields, used by the stage
         checkpoint manifest to decide whether a cached stage is reusable."""
@@ -101,7 +92,6 @@ class DedupeConfig:
             "shuffle_partitions",
             "max_records_per_batch",
             "sketch_repartition",
-            "sig_collapse_cap",
         ):
             sem.pop(k)
         return hashlib.sha256(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:16]

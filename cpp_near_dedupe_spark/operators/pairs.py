@@ -156,19 +156,42 @@ def _chain_star_pairs(
     chain+star runs per sub-bucket, and each sub-bucket minimum is linked
     to the bucket's global minimum, so the bucket stays one connected
     candidate group — still O(h) pairs total, but no window partition
-    exceeds ~cap rows. Hot buckets are found via the shared
-    ``bucket_sizes`` hash aggregation + a broadcast anti/semi-join, the
-    same machinery the all_pairs path uses; nothing is capped or dropped.
+    exceeds ~cap rows. Hot buckets are found from a 2% sample of the bands
+    table (or from the caller's exact ``sizes`` aggregate when one was
+    already computed for metrics) + a broadcast routing join; nothing is
+    capped or dropped.
     """
     id_col = cfg.id_col
     cap = cfg.hot_band_cap
-    if sizes is None:
-        sizes = bucket_sizes(bands)
-    hot_keys = (
-        sizes.filter(F.col("bucket_size") > cap)
-        .select("band_key", "bucket_size")
-        .persist()
-    )
+    if sizes is not None:
+        hot_keys = (
+            sizes.filter(F.col("bucket_size") > cap)
+            .select("band_key", "bucket_size")
+            .persist()
+        )
+    else:
+        # Statistical hot detection: an exact bucket_sizes pass is a full
+        # hash aggregation over the hottest table in the pipeline, and it
+        # exists only to find buckets worth salting — a ROUTING decision,
+        # not a semantic one (salting any bucket is always correct;
+        # leaving a mildly-over-cap bucket unsalted costs one window task
+        # of that size, which is harmless). A 2% sample finds every bucket
+        # that actually matters: a 10⁴-row bucket shows ~200 sampled rows
+        # (P[miss] ≈ 0), a 10⁷-row one ~2·10⁵; only buckets within a few ×
+        # of the cap are detected noisily, and those are exactly the ones
+        # that don't need salting. ~50× less aggregation input than the
+        # exact pass. Exact sizes (the ``sizes`` argument) are still used
+        # when the caller has already paid for them (checkpointed runs
+        # compute them for the hot-bucket metrics).
+        frac = 0.02
+        hot_keys = (
+            bands.select("band_key")
+            .sample(fraction=frac, seed=7)
+            .groupBy("band_key")
+            .agg((F.count("*") / F.lit(frac)).cast("long").alias("bucket_size"))
+            .filter(F.col("bucket_size") > cap)
+            .persist()
+        )
     # adaptive plan choice (one tiny driver action over the aggregated
     # hot-key list — the AQE-style runtime decision Spark cannot make for
     # window partitions): when NO bucket exceeds the cap, the whole salting

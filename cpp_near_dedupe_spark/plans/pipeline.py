@@ -113,35 +113,32 @@ def signature_reps(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
     non-empty sketches), and at web scale the exact-dupe/boilerplate mass
     is large, so blocking/pairing/scoring run over one representative per
     distinct sketch; members rejoin as direct J=1.0 edges before
-    clustering. Grouping is on the signature array itself (collision-free,
-    unlike a hash of it).
+    clustering.
 
-    Memory bound: a single collect_list over an unbounded group would put
-    one exact-dupe family's entire member list (10⁶-10⁷ ids for web
-    boilerplate) into ONE aggregation row → executor OOM. Families at or
-    below ``cfg.sig_collapse_cap`` use the one-shuffle collect_list path
-    (the shuffle carries each distinct signature once plus ≤ cap·8 bytes
-    of ids); larger families are routed through a join-back that attaches
-    rep_id row-by-row and never materializes the list. The over-cap
-    signature set is found with a cheap min/count hash aggregation (map-
-    side combined; shuffle = one row per distinct signature) and is almost
-    always tiny-or-empty, so AQE turns both routing joins into broadcasts.
+    Physical shape: grouping and the member join run on a 96-bit composite
+    fingerprint of the signature (``xxhash64`` + 32-bit murmur3 ``hash``,
+    two independent JVM hash families over the raw array), NOT on the
+    ~2 KB array itself. Both shuffles of this stage then carry ~20 B/row
+    instead of the full sketch (~100× less volume than grouping on the
+    array), every row is fixed-width (an earlier collect_list formulation
+    materialized one UNBOUNDED row per family — a 10⁷-member boilerplate
+    family OOMed by construction; the min-aggregate + join-back never
+    builds a list), and a mega-family is just a skewed join key that AQE
+    skew-splitting handles. Collision math: a false J=1.0 merge needs two
+    DISTINCT sketches with equal 96-bit fingerprints; at 10⁹ distinct
+    sketches P[any such pair] ≈ 10¹⁸/2⁹⁷ ≈ 6·10⁻¹² — orders of magnitude
+    below the 64-bit band-key equivalence the pairing stage already
+    accepts (operators/pairs.py), so the fingerprint is not the weakest
+    link anywhere.
     """
     id_col = cfg.id_col
-    cap = cfg.sig_collapse_cap
-    nonempty = signatures.filter(F.col("sig_len") > 0).select(id_col, "signature")
-    counts = nonempty.groupBy("signature").agg(
-        F.min(id_col).alias("rep_id"), F.count("*").alias("_n")
+    keyed = signatures.filter(F.col("sig_len") > 0).select(
+        id_col,
+        F.xxhash64("signature").alias("_k1"),
+        F.hash("signature").alias("_k2"),
     )
-    hot = counts.filter(F.col("_n") > cap).select("signature", "rep_id").persist()
-    hot_members = nonempty.join(hot, "signature").select(id_col, "rep_id")
-    cold = nonempty.join(hot.select("signature"), "signature", "left_anti")
-    grouped = cold.groupBy("signature").agg(
-        F.min(id_col).alias("rep_id"),
-        F.collect_list(id_col).alias("_members"),
-    )
-    cold_members = grouped.select(F.explode("_members").alias(id_col), "rep_id")
-    return cold_members.unionByName(hot_members)
+    reps = keyed.groupBy("_k1", "_k2").agg(F.min(id_col).alias("rep_id"))
+    return keyed.join(reps, ["_k1", "_k2"]).select(id_col, "rep_id")
 
 
 @dataclass
@@ -219,11 +216,16 @@ def run_pipeline(
         return PipelineResult(signatures, bands, None, None, None, None)
 
     def make_pairs() -> DataFrame:
-        # Both topologies consume bucket sizes (all_pairs for the cap/star
-        # routing, chain_star for sub-bucket salting of over-cap windows);
-        # ONE aggregation is shared between the hot-bucket metrics and pair
-        # generation.
-        sizes = bucket_sizes(bands).persist(StorageLevel.MEMORY_AND_DISK)
+        # Exact bucket sizes are a full hash aggregation over the hottest
+        # table; compute them only when something needs EXACT numbers: the
+        # hot-bucket metrics (checkpointed runs) or all_pairs' cap routing
+        # (part of its verified pair-set definition). chain_star's salting
+        # is a routing-only decision, so without a checkpoint it detects
+        # hot buckets from a 2% sample inside _chain_star_pairs instead —
+        # the shared aggregate is then skipped entirely.
+        sizes = None
+        if store is not None or cfg.pair_topology == "all_pairs":
+            sizes = bucket_sizes(bands).persist(StorageLevel.MEMORY_AND_DISK)
         if store is not None:
             # observability: record over-cap buckets routed through the star.
             # Separate directory from the per-partition counters — the two

@@ -4,9 +4,10 @@
    web scale) must not land in a single window task (AQE does NOT split
    window partitions), while the bucket stays one connected candidate
    group with O(h) pairs.
-2. the identical-sketch collapse bound — a mega exact-dupe family must not
-   be materialized as one collect_list row; over-cap families route
-   through the join-back path with identical results.
+2. the identical-sketch collapse bound — a mega exact-dupe family must
+   never materialize as one row: the fingerprint formulation aggregates
+   min-only and joins members back, and must equal grouping on the exact
+   signature arrays.
 """
 
 import pandas as pd
@@ -115,10 +116,10 @@ def family_sigs(spark):
 
 
 def test_signature_reps_mega_family_bounded(spark, family_sigs):
-    # cap far below the family size: the family must go through the
-    # join-back (no 100k-id collect_list row) and still map every member
-    # to the family minimum
-    cfg = DedupeConfig(id_col="doc_id", sig_collapse_cap=64)
+    # a 100k-member family must map every member to the family minimum
+    # without ever materializing a per-family row (the fingerprint
+    # formulation aggregates min-only and joins back: fixed-width rows)
+    cfg = DedupeConfig(id_col="doc_id")
     reps = signature_reps(family_sigs, cfg)
     agg = reps.groupBy("rep_id").agg(
         F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
@@ -129,18 +130,26 @@ def test_signature_reps_mega_family_bounded(spark, family_sigs):
         assert rows[rid].n == 1
 
 
-def test_signature_reps_cap_invariant(spark, family_sigs):
-    # physical routing must not change the logical result
-    small = signature_reps(
-        family_sigs, DedupeConfig(id_col="doc_id", sig_collapse_cap=1)
+def test_signature_reps_matches_exact_array_grouping(spark):
+    # the 96-bit fingerprint grouping must equal grouping on the signature
+    # arrays themselves (pandas oracle) on a corpus with many distinct
+    # sketches and shared ones
+    rows = []
+    for i in range(2_000):
+        sig = [f"h{i % 300}", f"g{(i * 7) % 300}"]  # 300-ish families
+        rows.append((i, 2, sig))
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, sig_len int, signature array<string>"
     )
-    large = signature_reps(
-        family_sigs, DedupeConfig(id_col="doc_id", sig_collapse_cap=10_000_000)
+    got = (
+        signature_reps(sigs, CFG).toPandas().sort_values("doc_id").reset_index(drop=True)
     )
-    pd.testing.assert_frame_equal(
-        small.toPandas().sort_values("doc_id").reset_index(drop=True),
-        large.toPandas().sort_values("doc_id").reset_index(drop=True),
+    pdf = pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "key": [tuple(r[2]) for r in rows]}
     )
+    pdf["rep_id"] = pdf.groupby("key")["doc_id"].transform("min")
+    exp = pdf[["doc_id", "rep_id"]].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
 
 
 def test_signature_reps_empty_sketches_excluded(spark):
