@@ -40,10 +40,12 @@ def perm_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
     return out
 
 
-def _base_hashes(text: Column, k: int) -> Column:
+def _base_hashes(toks: Column, k: int) -> Column:
     """Distinct k-word shingles → 32-bit base hash (first 8 hex chars of
-    md5, the same base both engines can compute)."""
-    toks = _tokens(text)
+    md5, the same base both engines can compute). ``toks`` must be an
+    already-materialized token-array COLUMN: the shingle lambda references
+    it once per shingle, and Catalyst would re-inline (and re-evaluate) a
+    raw split/filter expression at every reference."""
     shingles = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -68,8 +70,10 @@ def minhash_perm_signatures(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
     )
     based = docs.select(
+        F.col(cfg.id_col), _tokens(F.col(cfg.text_col)).alias("_w")
+    ).select(
         F.col(cfg.id_col),
-        _base_hashes(F.col(cfg.text_col), cfg.shingle_k).alias("bs"),
+        _base_hashes(F.col("_w"), cfg.shingle_k).alias("bs"),
     )
     sig = F.when(
         F.size("bs") > 0,

