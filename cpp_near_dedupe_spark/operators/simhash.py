@@ -83,21 +83,25 @@ def simhash_documents(
 
 
 def simhash_bands(sims: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Explode the 64-bit fingerprint into 4 × 16-bit band keys."""
-    pieces = [
-        sims.select(
-            F.col(id_col),
-            F.lit(b).alias("band_id"),
-            F.shiftrightunsigned(F.col("simhash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("band_key"),
-        )
-        for b in range(4)
-    ]
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+    """Explode the 64-bit fingerprint into 4 × 16-bit band keys.
+
+    One explode pass, NOT a 4-way union: each union branch is a separate
+    subtree that would re-evaluate ``sims`` (Spark does not CSE duplicated
+    plan subtrees), which matters when sims is the unpersisted kernel."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    return sims.select(F.col(id_col), F.explode(bands).alias("_b")).select(
+        id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
+    )
 
 
 def simhash_sql_fingerprint(
@@ -200,8 +204,12 @@ def simhash_candidate_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance <= max_hamming, found via
-    band blocking + exact popcount verification (bit_count is JVM-side)."""
-    sims = simhash_documents(docs, id_col, text_col)
+    band blocking + exact popcount verification (bit_count is JVM-side).
+
+    The fingerprint table feeds four plan subtrees (both sides of the band
+    self-join and both sides of the verification join); without a persist
+    the Arrow kernel would run once per subtree."""
+    sims = simhash_documents(docs, id_col, text_col).persist()
     bands = simhash_bands(sims, id_col)
     left = bands.select("band_id", "band_key", F.col(id_col).alias("a"))
     right = bands.select("band_id", "band_key", F.col(id_col).alias("b"))
