@@ -247,6 +247,50 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _aug_emb(spark, sf_dir):
+    """embeddings ∪ a deterministic near-copy of every 5th vector (ids +
+    10⁶; mirrored by the oracle's aug CTE): element i becomes
+    v[i] + 0.05·v[(i+1) mod d] — a fixed linear perturbation both engines
+    compute identically in double, giving cosine ≈ 0.996 against the
+    original. The driver's embeddings table is near-uniform on the sphere
+    (no natural near-dups: top-neighbor cosine ≈ −0.3), so without this the
+    dupe-pair queries would be vacuously green on an empty result."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    shifted = F.transform(
+        F.sequence(F.lit(0), F.size("v") - F.lit(1)),
+        lambda i: F.element_at("v", i + F.lit(1))
+        + F.lit(0.05) * F.element_at("v", F.pmod(i + F.lit(1), F.size("v")) + F.lit(1)),
+    )
+    copies = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), shifted.alias("v")
+    )
+    return base.unionByName(copies)
+
+
+def _q_embedding_dupe_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact (operators/
+    embedding_ann.py cosine_dupe_pairs): all (a < b, cosine ≥ 0.95) over
+    the augmented corpus — ~n/5 constructed near-copy pairs. Guarded O(n²)
+    oracle/baseline; the scale path is the LSH-bucketed twin below."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import cosine_dupe_pairs
+
+    return cosine_dupe_pairs(_aug_emb(spark, sf_dir), threshold=0.95, vec_col="v")
+
+
+def _q_embedding_dupe_pairs_lsh(spark, sf_dir):
+    """Scale path for embedding-cosine near-dup (cosine_dupe_pairs_lsh):
+    multi-table hyperplane-bucket equi-join (no cross join), distinct
+    before exact rescoring, threshold on the exact cosine. Approximate
+    candidate generation → rows-only; pair recall vs the exact operator is
+    asserted ≥ 0.9 in tests/test_ann_recall.py on the clustered corpus."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import cosine_dupe_pairs_lsh
+
+    return cosine_dupe_pairs_lsh(_aug_emb(spark, sf_dir), threshold=0.95, vec_col="v")
+
+
 def _q_binary_features(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.multimodal import binary_features, with_binary_payload
 
@@ -666,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_dupe_pairs": _q_embedding_dupe_pairs,
+        "embedding_dupe_pairs_lsh": _q_embedding_dupe_pairs_lsh,
         "binary_features": _q_binary_features,
         "binary_decode_stub": _q_binary_decode_stub,
         "frame_offsets": _q_frame_offsets,
@@ -1085,6 +1131,22 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "embedding_dupe_pairs": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(range(0, len(v)),
+                       i -> v[i + 1] + 0.05 * v[((i + 1) % len(v)) + 1]) AS v
+              FROM base WHERE vec_id % 5 = 0)
+            SELECT a, b, cosine FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+              FROM aug x JOIN aug y ON x.vec_id < y.vec_id)
+            WHERE cosine >= 0.95
         """,
         "binary_features": """
             SELECT doc_id,

@@ -300,3 +300,79 @@ def ivf_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
     return _exact_rescore_topk(cand, embeddings, qlist, k, id_col, vec_col)
+
+
+def cosine_dupe_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    max_rows: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (a < b, cosine ≥ threshold),
+    exact: the dedupe-flavored counterpart of ``brute_force_topk`` and the
+    ground-truth oracle for ``cosine_dupe_pairs_lsh``. O(n²) by
+    construction and guarded the same way as the text brute-force comparer
+    (operators/brute_force.py) — never the scale path."""
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_dupe_pairs is O(n²); input has {n} rows > max_rows="
+            f"{max_rows}. Use cosine_dupe_pairs_lsh for real corpora."
+        )
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    left = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    right = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    return (
+        left.crossJoin(right)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def cosine_dupe_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: candidates are pairs
+    sharing ≥1 hyperplane bucket in any of ``n_tables`` tables (the same
+    banded-equi-join shape as the text LSH chain — no cross join anywhere),
+    deduplicated BEFORE exact rescoring, then exact-cosine verified against
+    the threshold. Recall per pair is 1-(1-p)^T with p = (1-θ/π)^n_planes —
+    for near-duplicates (θ ≈ 0.1π at cosine 0.95) p ≈ 0.43, so T=8 tables
+    give pair recall ≈ 0.99; measured on the clustered corpus in
+    tests/test_ann_recall.py. Precision is exact by construction (every
+    emitted pair is rescored)."""
+    buckets = hyperplane_buckets(
+        embeddings, n_planes, dim, seed, n_tables, id_col, vec_col
+    ).persist()
+    cand = (
+        buckets.select("table", "bucket", F.col(id_col).alias("a"))
+        .join(
+            buckets.select("table", "bucket", F.col(id_col).alias("b")),
+            ["table", "bucket"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    va = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a", "b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

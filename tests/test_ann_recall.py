@@ -137,3 +137,23 @@ def test_ivf_deterministic_and_wellformed(spark, clustered_emb):
     pd_b = b.sort_values(key).reset_index(drop=True)
     assert pd_a.equals(pd_b)
     assert (a.groupby("query_id")["rank"].apply(lambda s: sorted(s) == [1, 2, 3, 4, 5])).all()
+
+
+def test_cosine_dupe_pairs_lsh_subset_and_recall(spark, clustered_emb):
+    """Embedding-cosine dedupe: the LSH-bucketed scale path must emit a
+    SUBSET of the exact pair set (precision exact by construction — every
+    candidate is rescored) with pair recall ≥ 0.9 at the bench config
+    (within-cluster cosine ≈ 0.91, θ ≈ 24.5°: per-table collision
+    p = (1-θ/π)^8 ≈ 0.31, 8 tables → recall ≈ 0.95)."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import (
+        cosine_dupe_pairs,
+        cosine_dupe_pairs_lsh,
+    )
+
+    exact = cosine_dupe_pairs(clustered_emb, threshold=0.85).toPandas()
+    approx = cosine_dupe_pairs_lsh(clustered_emb, threshold=0.85).toPandas()
+    es = set(zip(exact.a, exact.b))
+    ap = set(zip(approx.a, approx.b))
+    assert ap <= es, "LSH path emitted a pair the exact operator does not"
+    assert len(es) > 500  # the clustered corpus has real dupe mass
+    assert len(ap) / len(es) >= 0.9, f"pair recall {len(ap)/len(es):.3f}"
