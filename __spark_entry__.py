@@ -661,7 +661,14 @@ def _q_lsh_bands_rbs(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # the near-dedupe pipeline chain (SURVEY.md §2: S/T/B/J/C/O operators)
+        # the near-dedupe pipeline chain (SURVEY.md §2: S/T/B/J/C/O
+        # operators). Rows-only by nature: the reference-parity hash family
+        # (XXH64 over UTF-16 of the bitset-tokenized text) is not
+        # SQL-expressible, so no DuckDB oracle can exist; these are pinned
+        # by golden vectors + property tests (tests/golden/*, SURVEY §5)
+        # and by the lsh_sql_* twins below, which drive the SAME
+        # pairing/CC/resolve operator objects under an md5 family DuckDB
+        # computes — hash-green there verifies the shared machinery.
         "lsh_signatures": _q_lsh_signatures,
         "lsh_bands": _q_lsh_bands,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
@@ -692,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_perm_signatures": _q_minhash_perm_signatures,
         "incremental_dedupe": _q_incremental_dedupe,
         "lsh_greedy_kept": _q_lsh_greedy_kept,
+        # rows-only: scores XXH64-parity sketches (not SQL-expressible);
+        # its value is the LSH ⊆ brute-force containment property test
         "brute_force_dupe_pairs": _q_brute_force_dupe_pairs,
         # training-data ops
         "exact_dedupe": _q_exact_dedupe,
@@ -703,16 +712,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "ngram_jaccard_adjacent": _q_ngram_jaccard_adjacent,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
+        # simhash: the production fingerprint is XXH64-based (rows-only,
+        # same reason as the parity chain); simhash_sql* is its md5/60-bit
+        # twin with the identical vote/sign/pack construction, fully
+        # oracle-mirrored
         "simhash": _q_simhash,
         "simhash_dupe_pairs": _q_simhash_dupe_pairs,
         "simhash_sql": _q_simhash_sql,
         "simhash_sql_pairs": _q_simhash_sql_pairs,
+        # ann_topk is the exact baseline (full oracle); the lsh/ivf paths
+        # are APPROXIMATE by design (seeded hyperplanes / k-means) — no SQL
+        # oracle can define their candidate sets, so they are rows-only
+        # with measured-recall pins in tests/test_ann_recall.py
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_dupe_pairs": _q_embedding_dupe_pairs,
         "embedding_dupe_pairs_lsh": _q_embedding_dupe_pairs_lsh,
         "binary_features": _q_binary_features,
+        # rows-only: the decode step is an HONEST stub (no media libs in
+        # the container — operators/multimodal.py gates it); the Spark-side
+        # plumbing it exercises is real and the resize arithmetic is tested
         "binary_decode_stub": _q_binary_decode_stub,
         "frame_offsets": _q_frame_offsets,
     }
