@@ -181,6 +181,17 @@ def _q_jaro_winkler_adjacent(spark, sf_dir):
     return jaro_winkler_adjacent(_docs(spark, sf_dir), n_chars=64)
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (operators/text_analysis.py
+    bpe_token_stats): letter-run / digit-run / other-run pieces per doc —
+    the token-budget estimate a training-data pipeline computes before the
+    model-specific merge step. Oracle mirrors the identical RE2/Java-safe
+    regex and classification in DuckDB."""
+    from cpp_near_dedupe_spark.operators.text_analysis import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
 def _q_ngram_jaccard_adjacent(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.ngram import ngram_jaccard_adjacent
 
@@ -710,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "token_histogram": _q_token_histogram,
         "language_id": _q_language_id,
+        "bpe_token_stats": _q_bpe_token_stats,
         "ngram_jaccard_adjacent": _q_ngram_jaccard_adjacent,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
         # simhash: the production fingerprint is XXH64-based (rows-only,
@@ -1064,6 +1076,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred,
                    round(b / 10.0, 4) AS lang_score
             FROM best
+        """,
+        "bpe_token_stats": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]+') AS ps
+              FROM documents)
+            SELECT doc_id,
+                   len(ps)::BIGINT AS n_pieces,
+                   len(list_filter(ps, x -> substr(x, 1, 1) BETWEEN 'a' AND 'z'))::BIGINT
+                     AS n_alpha_pieces,
+                   len(list_filter(ps, x -> substr(x, 1, 1) BETWEEN '0' AND '9'))::BIGINT
+                     AS n_digit_pieces,
+                   (len(ps)
+                    - len(list_filter(ps, x -> substr(x, 1, 1) BETWEEN 'a' AND 'z'))
+                    - len(list_filter(ps, x -> substr(x, 1, 1) BETWEEN '0' AND '9')))::BIGINT
+                     AS n_other_pieces,
+                   coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::BIGINT
+                     AS n_piece_chars
+            FROM p
         """,
         "ngram_jaccard_adjacent": f"""
             WITH grams AS (

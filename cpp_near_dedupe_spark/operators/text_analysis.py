@@ -112,3 +112,46 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         pred.alias("lang_pred"),
         F.round(best_score / F.lit(10.0), 4).alias("lang_score"),
     )
+
+
+# GPT-2-style pre-tokenization classes, engine-identical by construction:
+# explicit whitespace set (Java's \s and RE2's \s disagree on \x0B), plain
+# character classes, no lookaround (RE2 has none). A run of letters, a run
+# of digits, or a run of anything-else-non-space is one piece — the shape
+# a byte-pair encoder's pre-tokenizer feeds the merge table.
+_BPE_SPLIT = "[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_pieces, n_alpha_pieces, n_digit_pieces, n_other_pieces,
+    n_piece_chars): BPE-ish pre-tokenizer counts — the token-budget
+    estimate a training-data pipeline uses before the (model-specific)
+    merge step. Pure built-ins; the pieces array is materialized as a
+    column BEFORE the four counting expressions reference it, so the
+    regex scan runs once per doc (plan hygiene — see operators/ngram.py)."""
+    pieces = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(_BPE_SPLIT), F.lit(0)
+        ).alias("_p"),
+    )
+    first = lambda p: F.substring(p, 1, 1)
+    alpha = F.size(
+        F.filter("_p", lambda p: (first(p) >= "a") & (first(p) <= "z"))
+    )
+    digit = F.size(
+        F.filter("_p", lambda p: (first(p) >= "0") & (first(p) <= "9"))
+    )
+    return pieces.select(
+        F.col(id_col),
+        F.size("_p").cast("long").alias("n_pieces"),
+        alpha.cast("long").alias("n_alpha_pieces"),
+        digit.cast("long").alias("n_digit_pieces"),
+        (F.size("_p") - alpha - digit).cast("long").alias("n_other_pieces"),
+        F.coalesce(
+            F.aggregate(F.transform("_p", F.length), F.lit(0), lambda a, x: a + x),
+            F.lit(0),
+        ).cast("long").alias("n_piece_chars"),
+    )
