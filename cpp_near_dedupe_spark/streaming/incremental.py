@@ -12,9 +12,12 @@ ComparerThread.h:271-414`). Batch Spark replays that per micro-batch:
   its survivors are scored against state candidates; docs matching state
   are dropped; the rest are appended to state.
 
-Ordering semantics match the reference's arrival-order greedy pass at
-batch granularity: earlier batches always win; within a batch the
+Ordering semantics (default) match the reference's arrival-order greedy
+pass at batch granularity: earlier batches always win; within a batch the
 transitive-clustering keep-first rule applies (SURVEY.md §2 C1).
+``strict_order=True`` instead reproduces the reference's EXACT per-doc
+keep/drop decisions (state-match elimination + arrival-order greedy over
+the remainder — see dedupe_increment).
 
 ``stream_dedupe`` wires this into Structured Streaming via foreachBatch —
 the recommended pattern for stateful sinks with exactly-once parquet
@@ -113,14 +116,38 @@ def dedupe_increment(
     new_docs: DataFrame,
     state: SignatureState,
     cfg: DedupeConfig,
+    strict_order: bool = False,
 ) -> DataFrame:
     """Process one batch; returns the surviving (kept) docs with full
-    schema, and appends their signatures to the state."""
+    schema, and appends their signatures to the state.
+
+    ``strict_order=False`` (default): within-batch transitive clustering
+    (keep-first per component), then survivors are dropped if they match
+    state — batch-granularity arrival order (SURVEY.md §2 C1).
+
+    ``strict_order=True``: the reference's EXACT per-doc pass
+    (`ComparerThread.h:271-414`) — a doc is dropped iff it matches an
+    already-RETAINED earlier doc. Because every state doc is retained and
+    earlier than the whole batch, this factors exactly: (1) docs matching
+    state are dropped outright (they can never be retained, so they also
+    cannot drop anyone); (2) the remaining docs run the arrival-order
+    greedy fixed-point (operators/greedy.py) over the within-batch edges
+    restricted to them. The two modes genuinely differ: for batch docs
+    X < Y with X~Y, where X matches state but Y does not, the default
+    drops both (Y loses to X within-batch, X loses to state) while the
+    reference keeps Y (its only match X was never retained) — pinned in
+    tests/test_greedy.py."""
     id_col = cfg.id_col
 
-    # 1. dedupe the batch against itself (full pipeline semantics)
     sigs_new = sketch_documents(new_docs, cfg)
     bands_new = explode_bands(sigs_new, cfg)
+
+    if strict_order:
+        return _dedupe_increment_strict(
+            spark, new_docs, sigs_new, bands_new, state, cfg
+        )
+
+    # 1. dedupe the batch against itself (full pipeline semantics)
     pairs_in = candidate_pairs(bands_new, cfg)
     edges_in = score_pairs(pairs_in, sigs_new, cfg).filter(
         F.col("jaccard") >= F.lit(cfg.threshold)
@@ -171,6 +198,62 @@ def dedupe_increment(
     return batch_kept
 
 
+def _dedupe_increment_strict(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    sigs_new: DataFrame,
+    bands_new: DataFrame,
+    state: SignatureState,
+    cfg: DedupeConfig,
+) -> DataFrame:
+    """strict_order=True body: state-match first, then arrival-order greedy
+    over the remaining docs (see dedupe_increment docstring for the proof
+    sketch that this equals the reference's per-doc pass)."""
+    from ..operators.greedy import greedy_resolve
+
+    id_col = cfg.id_col
+
+    live_docs = new_docs
+    if state.exists():
+        cand = (
+            bands_new.select("band_id", "band_key", F.col(id_col).alias("a"))
+            .join(
+                state.bands().select("band_id", "band_key", F.col(id_col).alias("b")),
+                ["band_id", "band_key"],
+            )
+            # same lazy-recompute guard as the default path: after append()
+            # the state dir contains this batch's own survivors
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        all_sigs = sigs_new.unionByName(
+            state.signatures().select(sigs_new.columns)
+        )
+        matches = score_pairs(cand, all_sigs, cfg).filter(
+            F.col("jaccard") >= F.lit(cfg.threshold)
+        )
+        state_dropped = matches.select(F.col("a").alias(id_col)).distinct()
+        live_docs = new_docs.join(state_dropped, id_col, "left_anti")
+
+    live_ids = live_docs.select(id_col)
+    bands_live = bands_new.join(live_ids, id_col, "left_semi")
+    pairs_in = candidate_pairs(bands_live, cfg)
+    edges_in = score_pairs(pairs_in, sigs_new, cfg).filter(
+        F.col("jaccard") >= F.lit(cfg.threshold)
+    )
+    out = greedy_resolve(live_docs.select(id_col), edges_in.select("a", "b"), cfg)
+    batch_kept = new_docs.join(
+        out.filter(F.col("is_kept")).select(id_col), id_col, "left_semi"
+    )
+    survivor_ids = batch_kept.select(id_col)
+    state.append(
+        sigs_new.join(survivor_ids, id_col, "left_semi"),
+        bands_new.join(survivor_ids, id_col, "left_semi"),
+    )
+    return batch_kept
+
+
 def stream_dedupe(
     spark: SparkSession,
     source: DataFrame,
@@ -178,13 +261,14 @@ def stream_dedupe(
     output_dir: str,
     cfg: DedupeConfig,
     checkpoint_dir: str | None = None,
+    strict_order: bool = False,
 ):
     """Structured Streaming wrapper: readStream source → per-micro-batch
     incremental dedupe → parquet sink. Returns the StreamingQuery."""
     state = SignatureState(spark, state_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        kept = dedupe_increment(spark, batch_df, state, cfg)
+        kept = dedupe_increment(spark, batch_df, state, cfg, strict_order=strict_order)
         kept.write.mode("append").parquet(output_dir)
 
     return (

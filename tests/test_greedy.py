@@ -185,3 +185,45 @@ def test_chained_corpus_pins_greedy_vs_cc_divergence(spark):
     # endpoints whose only matches were themselves dropped
     assert cc_kept < greedy_kept
     assert len(greedy_kept - cc_kept) >= 5
+
+
+def test_incremental_strict_order_matches_per_doc_reference(spark, tmp_path):
+    """strict_order=True must reproduce the reference's per-doc pass where
+    the default (within-batch CC first) provably differs: batch docs X < Y
+    with X~Y, X matching state, Y not. Reference: X arrives, matches a
+    retained state doc, dropped (never retained); Y arrives, its only
+    match X is not retained, state has no match -> Y KEPT. The default
+    mode drops both. Also cross-checks a 3-doc chain within one batch."""
+    from cpp_near_dedupe_spark.streaming.incremental import (
+        SignatureState,
+        dedupe_increment,
+    )
+
+    toks = [f"w{i}" for i in range(400)]
+    d_state = " ".join(toks)
+    # X: ~0.72 vs d_state (matches state). Y: ~0.72 vs X, ~0.5 vs d_state.
+    d_x = " ".join([f"x{i}" for i in range(60)] + toks[60:])
+    d_y = " ".join(
+        [f"x{i}" for i in range(60)] + toks[60:340] + [f"y{i}" for i in range(60)]
+    )
+
+    for strict, expect in ((False, set()), (True, {21})):
+        state = SignatureState(spark, str(tmp_path / f"state_{strict}"))
+        b1 = spark.createDataFrame([(1, d_state)], "doc_id long, text string")
+        dedupe_increment(spark, b1, state, CFG, strict_order=strict)
+        b2 = spark.createDataFrame(
+            [(20, d_x), (21, d_y)], "doc_id long, text string"
+        )
+        kept = dedupe_increment(spark, b2, state, CFG, strict_order=strict)
+        assert {r.doc_id for r in kept.collect()} == expect, f"strict={strict}"
+
+    # within-batch chain a~b~c (no state): strict mode = greedy (keep a, c)
+    d_a = d_state
+    d_b = d_x
+    d_c = d_y
+    state = SignatureState(spark, str(tmp_path / "state_chain"))
+    batch = spark.createDataFrame(
+        [(1, d_a), (2, d_b), (3, d_c)], "doc_id long, text string"
+    )
+    kept = dedupe_increment(spark, batch, state, CFG, strict_order=True)
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
