@@ -340,6 +340,7 @@ def cosine_dupe_pairs_lsh(
     dim: int = 64,
     seed: int = 7,
     n_tables: int = 8,
+    hot_bucket_cap: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -351,20 +352,44 @@ def cosine_dupe_pairs_lsh(
     for near-duplicates (θ ≈ 0.1π at cosine 0.95) p ≈ 0.43, so T=8 tables
     give pair recall ≈ 0.99; measured on the clustered corpus in
     tests/test_ann_recall.py. Precision is exact by construction (every
-    emitted pair is rescored)."""
+    emitted pair is rescored).
+
+    Hot buckets: a degenerate bucket (boilerplate embeddings, or the
+    all-zero vector, collapsing onto one sign pattern) would make the
+    plain self-join quadratic, so buckets over ``hot_bucket_cap`` rows use
+    the same capped+star routing as the text path (operators/pairs.py):
+    all pairs among the first cap rows (by id) plus (bucket-min, doc) star
+    edges for the rest — O(h) for the overflow, bucket stays one candidate
+    group, and the ``n_tables`` independent bucketings restore most pairs
+    a single table's star misses."""
     buckets = hyperplane_buckets(
         embeddings, n_planes, dim, seed, n_tables, id_col, vec_col
     ).persist()
-    cand = (
-        buckets.select("table", "bucket", F.col(id_col).alias("a"))
-        .join(
-            buckets.select("table", "bucket", F.col(id_col).alias("b")),
-            ["table", "bucket"],
-        )
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    keys = ["table", "bucket"]
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
+    ranked = buckets.select(*keys, id_col).withColumn(
+        "rn", F.row_number().over(w)
     )
+    head = ranked.filter(F.col("rn") <= hot_bucket_cap)
+    head_pairs = (
+        head.select(*keys, F.col(id_col).alias("a"), F.col("rn").alias("rn_a"))
+        .join(
+            head.select(*keys, F.col(id_col).alias("b"), F.col("rn").alias("rn_b")),
+            keys,
+        )
+        .filter(F.col("rn_a") < F.col("rn_b"))
+        .select("a", "b")
+    )
+    centers = ranked.filter(F.col("rn") == 1).select(
+        *keys, F.col(id_col).alias("a")
+    )
+    star_pairs = (
+        ranked.filter(F.col("rn") > hot_bucket_cap)
+        .select(*keys, F.col(id_col).alias("b"))
+        .join(centers, keys)
+        .select("a", "b")
+    )
+    cand = head_pairs.unionByName(star_pairs).distinct()
     base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     va = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
     vb = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))

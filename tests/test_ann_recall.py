@@ -157,3 +157,31 @@ def test_cosine_dupe_pairs_lsh_subset_and_recall(spark, clustered_emb):
     assert ap <= es, "LSH path emitted a pair the exact operator does not"
     assert len(es) > 500  # the clustered corpus has real dupe mass
     assert len(ap) / len(es) >= 0.9, f"pair recall {len(ap)/len(es):.3f}"
+
+
+def test_cosine_dupe_pairs_lsh_hot_bucket_capped(spark):
+    """A degenerate bucket (600 near-identical embeddings → one sign
+    pattern in every table) must NOT go quadratic: capped all-pairs +
+    bucket-min star keeps the candidate count linear in the overflow while
+    the bucket stays ONE connected dupe group."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import cosine_dupe_pairs_lsh
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(DIM)
+    rows = [(i, [float(x) for x in base + 1e-4 * rng.standard_normal(DIM)]) for i in range(600)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_dupe_pairs_lsh(emb, threshold=0.99, hot_bucket_cap=64).toPandas()
+    n_quadratic = 600 * 599 // 2
+    assert len(got) < n_quadratic / 20, f"{len(got)} pairs — hot bucket went quadratic"
+    # single connected component over all 600 docs
+    parent = dict((i, i) for i in range(600))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(got.a, got.b):
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(600)}) == 1
