@@ -202,23 +202,52 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_bucket_cap: int = 256,
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance <= max_hamming, found via
     band blocking + exact popcount verification (bit_count is JVM-side).
 
     The fingerprint table feeds four plan subtrees (both sides of the band
     self-join and both sides of the verification join); without a persist
-    the Arrow kernel would run once per subtree."""
+    the Arrow kernel would run once per subtree.
+
+    Hot buckets: a degenerate band value — most prominently fingerprint 0,
+    which every empty/untokenizable doc shares, a large class at web scale
+    — would make a plain band self-join quadratic. Buckets over
+    ``hot_bucket_cap`` use the capped-all-pairs + bucket-min-star routing
+    (same scheme as operators/pairs.py and the embedding pair path):
+    linear candidates for the overflow, the bucket stays one connected
+    group, every pair still popcount-verified. The SQL twin
+    (``simhash_sql_pairs``) deliberately stays UNCAPPED because its DuckDB
+    oracle defines the candidate set as all band-colliding pairs — the cap
+    here is a scale guard on the rows-only production path."""
+    from pyspark.sql import Window
+
     sims = simhash_documents(docs, id_col, text_col).persist()
     bands = simhash_bands(sims, id_col)
-    left = bands.select("band_id", "band_key", F.col(id_col).alias("a"))
-    right = bands.select("band_id", "band_key", F.col(id_col).alias("b"))
-    cand = (
-        left.join(right, ["band_id", "band_key"])
-        .filter(F.col("a") < F.col("b"))
+    keys = ["band_id", "band_key"]
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
+    # ranked feeds four subtrees (two join sides, centers, overflow):
+    # persist so the band explode + window sort run once
+    ranked = bands.withColumn("rn", F.row_number().over(w)).persist()
+    head = ranked.filter(F.col("rn") <= hot_bucket_cap)
+    head_pairs = (
+        head.select(*keys, F.col(id_col).alias("a"), F.col("rn").alias("rn_a"))
+        .join(
+            head.select(*keys, F.col(id_col).alias("b"), F.col("rn").alias("rn_b")),
+            keys,
+        )
+        .filter(F.col("rn_a") < F.col("rn_b"))
         .select("a", "b")
-        .distinct()
     )
+    centers = ranked.filter(F.col("rn") == 1).select(*keys, F.col(id_col).alias("a"))
+    star_pairs = (
+        ranked.filter(F.col("rn") > hot_bucket_cap)
+        .select(*keys, F.col(id_col).alias("b"))
+        .join(centers, keys)
+        .select("a", "b")
+    )
+    cand = head_pairs.unionByName(star_pairs).distinct()
     sa = sims.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"))
     sb = sims.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"))
     return (
