@@ -88,10 +88,12 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.blocking import explode_bands
     from cpp_near_dedupe_spark.operators.pairs import candidate_pairs
 
+    from cpp_near_dedupe_spark.cache import track
+
     sigs = sketch_documents(_docs(spark, sf_dir), CFG)
     # candidate_pairs consumes bands more than once (bucket sizes + the
     # salted window + the hot-link aggregates); persist like the pipeline
-    bands = explode_bands(sigs, CFG).persist()
+    bands = track(explode_bands(sigs, CFG))
     return candidate_pairs(bands, CFG)
 
 
@@ -444,7 +446,9 @@ def _q_pairs_topology(topology, cap=None):
     * lsh_sql_pairs_dense  — all_pairs, default cap; oracle = capped mirror
       at the same cap (≡ all co-bucketed pairs while buckets ≤ cap).
     * lsh_sql_pairs_capped — all_pairs, cap=4; the dense families (6 > 4)
-      drive the hot branch: all pairs among the first 4 + bucket-min star.
+      drive the hot branch: all pairs among the hash-selected head
+      (portable_salt, identical int64 arithmetic in both engines) +
+      bucket-min star over every other doc.
     * lsh_sql_pairs_chain  — chain_star (the parity-mode default): lag()
       chain + running-first star, oracle mirrors the same two windows.
       Cap is raised so the (non-SQL-expressible xxhash64-salted) hot
@@ -457,11 +461,13 @@ def _q_pairs_topology(topology, cap=None):
         from cpp_near_dedupe_spark.operators.pairs import candidate_pairs
         from cpp_near_dedupe_spark.plans.sql_mode import sql_bands, sql_sketch
 
+        from cpp_near_dedupe_spark.cache import track
+
         kw = {"pair_topology": topology}
         if cap is not None:
             kw["hot_band_cap"] = cap
         cfg = dataclasses.replace(CFG, **kw)
-        bands = sql_bands(sql_sketch(_dense_docs(spark, sf_dir), cfg), cfg).persist()
+        bands = track(sql_bands(sql_sketch(_dense_docs(spark, sf_dir), cfg), cfg))
         return candidate_pairs(bands, cfg)
 
     return q
@@ -671,7 +677,7 @@ def _q_lsh_bands_rbs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    raw = {
         # the near-dedupe pipeline chain (SURVEY.md §2: S/T/B/J/C/O
         # operators). Rows-only by nature: the reference-parity hash family
         # (XXH64 over UTF-16 of the bitset-tokenized text) is not
@@ -748,6 +754,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_decode_stub": _q_binary_decode_stub,
         "frame_offsets": _q_frame_offsets,
     }
+
+    def _released(fn):
+        """Release the PREVIOUS query's tracked caches before building this
+        one — the session-level cache-lifecycle contract
+        (cpp_near_dedupe_spark/cache.py): a driver/bench loop over many
+        queries never accumulates cached RDDs across queries."""
+
+        def run(spark, sf_dir):
+            release_all()
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    from cpp_near_dedupe_spark.cache import release_all
+
+    return {k: _released(v) for k, v in raw.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -885,26 +908,38 @@ _DENSE_BANDS_PREFIX = (
 
 
 def _capped_pairs_oracle(cap: int) -> str:
-    """DuckDB mirror of operators/pairs.py all_pairs: within each band
-    bucket (rows ranked by doc_id), all pairs among the first ``cap`` rows
-    plus (bucket minimum, doc) star edges for rows beyond the cap; distinct
-    across bands. For buckets ≤ cap this degenerates to all co-bucketed
-    pairs, so the equivalence is structural at ANY fixture density."""
+    """DuckDB mirror of operators/pairs.py all_pairs (the WINDOWLESS
+    capped+star): buckets ≤ cap emit all co-bucketed pairs; over-cap
+    buckets emit all pairs among the hash-selected head
+    (``portable_salt(doc_id, ceil(size/cap)) == 0`` — the identical int64
+    arithmetic on both engines) plus (bucket minimum, doc) star edges for
+    every other doc; distinct across bands. The equivalence is structural
+    at ANY fixture density."""
+    from cpp_near_dedupe_spark.operators.pairs import portable_salt_sql
+
+    head_salt = portable_salt_sql("doc_id", f"(c + {cap - 1}) // {cap}")
     return f"""
         WITH {_DENSE_BANDS_PREFIX},
-        ranked AS (
-          SELECT doc_id, band_key,
-                 row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
-          FROM bands),
-        head AS (SELECT * FROM ranked WHERE rn <= {cap}),
+        stats AS (
+          SELECT band_key, count(*) AS c, min(doc_id) AS gmin
+          FROM bands GROUP BY band_key),
+        aug AS (
+          SELECT b.doc_id, b.band_key, s.c, s.gmin
+          FROM bands b JOIN stats s USING (band_key)),
+        cold AS (SELECT * FROM aug WHERE c <= {cap}),
+        cp AS (
+          SELECT l.doc_id AS a, r.doc_id AS b
+          FROM cold l JOIN cold r
+            ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        hot AS (SELECT * FROM aug WHERE c > {cap}),
+        head AS (SELECT * FROM hot WHERE {head_salt} = 0),
         hp AS (
           SELECT l.doc_id AS a, r.doc_id AS b
-          FROM head l JOIN head r ON l.band_key = r.band_key AND l.rn < r.rn),
-        sp AS (
-          SELECT c.doc_id AS a, o.doc_id AS b
-          FROM ranked c JOIN ranked o
-            ON c.band_key = o.band_key AND c.rn = 1 AND o.rn > {cap})
-        SELECT DISTINCT a, b FROM (SELECT * FROM hp UNION ALL SELECT * FROM sp)
+          FROM head l JOIN head r
+            ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        sp AS (SELECT gmin AS a, doc_id AS b FROM hot WHERE doc_id != gmin)
+        SELECT DISTINCT a, b FROM (
+          SELECT * FROM cp UNION ALL SELECT * FROM hp UNION ALL SELECT * FROM sp)
     """
 
 

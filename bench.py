@@ -63,12 +63,16 @@ def main() -> int:
         "ann_lsh_topk",
         "binary_features",
     ]
+    from cpp_near_dedupe_spark.cache import release_all
+
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.time()
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # cache-lifecycle contract: a query's tracked persists die with it
+        release_all()
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     total = round(sum(timings.values()), 3)

@@ -357,39 +357,22 @@ def cosine_dupe_pairs_lsh(
     Hot buckets: a degenerate bucket (boilerplate embeddings, or the
     all-zero vector, collapsing onto one sign pattern) would make the
     plain self-join quadratic, so buckets over ``hot_bucket_cap`` rows use
-    the same capped+star routing as the text path (operators/pairs.py):
-    all pairs among the first cap rows (by id) plus (bucket-min, doc) star
-    edges for the rest — O(h) for the overflow, bucket stays one candidate
-    group, and the ``n_tables`` independent bucketings restore most pairs
-    a single table's star misses."""
-    buckets = hyperplane_buckets(
-        embeddings, n_planes, dim, seed, n_tables, id_col, vec_col
-    ).persist()
-    keys = ["table", "bucket"]
-    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
-    ranked = buckets.select(*keys, id_col).withColumn(
-        "rn", F.row_number().over(w)
+    the shared WINDOWLESS capped+star routing
+    (``operators.pairs.capped_star_pairs``, same scheme as the text and
+    simhash paths): hash-agg bucket stats, hash-selected head of ~cap
+    rows, (bucket-min, doc) star edges for everything else — O(h) for the
+    overflow, no task ever sorts the degenerate bucket, the bucket stays
+    one candidate group, and the ``n_tables`` independent bucketings
+    restore most pairs a single table's star misses. The bucket persist is
+    registered with the session cache registry; the caller releases it
+    after materializing the result."""
+    from ..cache import track
+    from .pairs import capped_star_pairs
+
+    buckets = track(
+        hyperplane_buckets(embeddings, n_planes, dim, seed, n_tables, id_col, vec_col)
     )
-    head = ranked.filter(F.col("rn") <= hot_bucket_cap)
-    head_pairs = (
-        head.select(*keys, F.col(id_col).alias("a"), F.col("rn").alias("rn_a"))
-        .join(
-            head.select(*keys, F.col(id_col).alias("b"), F.col("rn").alias("rn_b")),
-            keys,
-        )
-        .filter(F.col("rn_a") < F.col("rn_b"))
-        .select("a", "b")
-    )
-    centers = ranked.filter(F.col("rn") == 1).select(
-        *keys, F.col(id_col).alias("a")
-    )
-    star_pairs = (
-        ranked.filter(F.col("rn") > hot_bucket_cap)
-        .select(*keys, F.col(id_col).alias("b"))
-        .join(centers, keys)
-        .select("a", "b")
-    )
-    cand = head_pairs.unionByName(star_pairs).distinct()
+    cand = capped_star_pairs(buckets, ["table", "bucket"], id_col, hot_bucket_cap)
     base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     va = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
     vb = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track as _track
+
 
 def simhash_batch(texts, seed: int = 0) -> np.ndarray:
     """(m,) uint64 simhash fingerprints; 0 for docs with no tokens."""
@@ -161,7 +163,7 @@ def simhash_sql_pairs(
     band blocking (Manku: Hamming ≤ 3 ⇒ at least one band equal) + exact
     JVM bit_count verification — the same blocking shape as
     ``simhash_candidate_pairs``, with a full DuckDB oracle."""
-    sims = simhash_sql_fingerprint(docs, id_col, text_col).persist()
+    sims = _track(simhash_sql_fingerprint(docs, id_col, text_col))
     pieces = [
         sims.select(
             F.col(id_col),
@@ -207,47 +209,28 @@ def simhash_candidate_pairs(
     """(a, b, hamming) pairs with Hamming distance <= max_hamming, found via
     band blocking + exact popcount verification (bit_count is JVM-side).
 
-    The fingerprint table feeds four plan subtrees (both sides of the band
-    self-join and both sides of the verification join); without a persist
-    the Arrow kernel would run once per subtree.
+    The fingerprint table feeds every plan subtree (the band branches and
+    both sides of the verification join); without a persist the Arrow
+    kernel would run once per subtree. The persist is registered with the
+    session cache registry (``cpp_near_dedupe_spark.cache``) — the caller
+    releases it after materializing the result.
 
     Hot buckets: a degenerate band value — most prominently fingerprint 0,
     which every empty/untokenizable doc shares, a large class at web scale
     — would make a plain band self-join quadratic. Buckets over
-    ``hot_bucket_cap`` use the capped-all-pairs + bucket-min-star routing
-    (same scheme as operators/pairs.py and the embedding pair path):
-    linear candidates for the overflow, the bucket stays one connected
-    group, every pair still popcount-verified. The SQL twin
-    (``simhash_sql_pairs``) deliberately stays UNCAPPED because its DuckDB
-    oracle defines the candidate set as all band-colliding pairs — the cap
-    here is a scale guard on the rows-only production path."""
-    from pyspark.sql import Window
+    ``hot_bucket_cap`` use the shared WINDOWLESS capped+star routing
+    (``operators.pairs.capped_star_pairs``, same scheme as the text and
+    embedding pair paths): hash-agg bucket stats, hash-selected head,
+    bucket-min star — no task ever sorts the degenerate bucket, the bucket
+    stays one connected group, every pair still popcount-verified. The SQL
+    twin (``simhash_sql_pairs``) deliberately stays UNCAPPED because its
+    DuckDB oracle defines the candidate set as all band-colliding pairs —
+    the cap here is a scale guard on the rows-only production path."""
+    from .pairs import capped_star_pairs
 
-    sims = simhash_documents(docs, id_col, text_col).persist()
+    sims = _track(simhash_documents(docs, id_col, text_col))
     bands = simhash_bands(sims, id_col)
-    keys = ["band_id", "band_key"]
-    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
-    # ranked feeds four subtrees (two join sides, centers, overflow):
-    # persist so the band explode + window sort run once
-    ranked = bands.withColumn("rn", F.row_number().over(w)).persist()
-    head = ranked.filter(F.col("rn") <= hot_bucket_cap)
-    head_pairs = (
-        head.select(*keys, F.col(id_col).alias("a"), F.col("rn").alias("rn_a"))
-        .join(
-            head.select(*keys, F.col(id_col).alias("b"), F.col("rn").alias("rn_b")),
-            keys,
-        )
-        .filter(F.col("rn_a") < F.col("rn_b"))
-        .select("a", "b")
-    )
-    centers = ranked.filter(F.col("rn") == 1).select(*keys, F.col(id_col).alias("a"))
-    star_pairs = (
-        ranked.filter(F.col("rn") > hot_bucket_cap)
-        .select(*keys, F.col(id_col).alias("b"))
-        .join(centers, keys)
-        .select("a", "b")
-    )
-    cand = head_pairs.unionByName(star_pairs).distinct()
+    cand = capped_star_pairs(bands, ["band_id", "band_key"], id_col, hot_bucket_cap)
     sa = sims.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"))
     sb = sims.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"))
     return (

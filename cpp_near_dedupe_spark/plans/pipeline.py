@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from ..config import DedupeConfig
 from ..operators.sketch_op import sketch_documents
 from ..operators.blocking import explode_bands
-from ..operators.pairs import bucket_sizes, candidate_pairs, hot_bucket_stats
+from ..cache import track
+from ..operators.pairs import bucket_stats, candidate_pairs, hot_bucket_stats
 from ..operators.scoring import score_pairs
 from ..operators.clustering import connected_components
 from ..operators.resolve import resolve_clusters
@@ -38,7 +39,8 @@ STAGES = ("signatures", "sig_reps", "bands", "pairs", "edges", "clusters", "reso
 
 # bump when the stage DAG or a stage's semantics change, so stale
 # checkpoints from older layouts can never be resumed into a new run
-PIPELINE_VERSION = 3
+# (v4: all_pairs hot-bucket routing became windowless hash-head+star)
+PIPELINE_VERSION = 4
 
 
 class CheckpointStore:
@@ -171,8 +173,6 @@ def run_pipeline(
     store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
     fp = f"v{PIPELINE_VERSION}:" + cfg.fingerprint() + ":" + input_token
 
-    from pyspark.storagelevel import StorageLevel
-
     # Persist only stages that are CONSUMED MORE THAN ONCE downstream
     # (Spark does not CSE duplicated UDF subtrees, so e.g. unpersisted
     # signatures would re-run the sketch kernel once per reference).
@@ -188,7 +188,9 @@ def run_pipeline(
         if store is None:
             out = make()
             if name in multi_consumer:
-                out = out.persist(StorageLevel.MEMORY_AND_DISK)
+                # registered with the session cache registry — callers
+                # (bench, driver query wrappers) release between queries
+                out = track(out)
             return out
         if store.is_complete(name, fp):
             return store.read(name)
@@ -225,7 +227,7 @@ def run_pipeline(
         # the shared aggregate is then skipped entirely.
         sizes = None
         if store is not None or cfg.pair_topology == "all_pairs":
-            sizes = bucket_sizes(bands).persist(StorageLevel.MEMORY_AND_DISK)
+            sizes = track(bucket_stats(bands, ["band_key"], cfg.id_col))
         if store is not None:
             # observability: record over-cap buckets routed through the star.
             # Separate directory from the per-partition counters — the two

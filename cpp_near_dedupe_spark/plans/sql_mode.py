@@ -144,8 +144,8 @@ def run_sql_pipeline(
     config: the DuckDB oracle's ``cand`` CTE defines the candidate set as
     ALL distinct band-colliding pairs, and ``all_pairs`` is the topology
     that computes exactly that set (structurally, for every bucket up to
-    ``hot_band_cap`` — the capped+star over-cap branch has its own
-    window-function oracle, ``lsh_sql_pairs_capped``). Running the checked
+    ``hot_band_cap`` — the windowless capped+star over-cap branch has
+    its own hash-head oracle, ``lsh_sql_pairs_capped``). Running the checked
     chain under the chain_star default would make a green hash an accident
     of fixture density: chain_star provably omits pairs in buckets of ≥ 4
     docs. chain_star keeps its own driver query (``lsh_sql_pairs_chain``)
@@ -153,12 +153,12 @@ def run_sql_pipeline(
     """
     import dataclasses
 
-    from pyspark.storagelevel import StorageLevel
+    from ..cache import track
 
     cfg = cfg or DedupeConfig()
     cfg = dataclasses.replace(cfg, pair_topology="all_pairs")
     cfg.validate()
-    sigs = sql_sketch(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = track(sql_sketch(docs, cfg))
     if stop_after == "signatures":
         return SqlPipelineResult(sigs, None, None, None, None)
     bands = sql_bands(sigs, cfg)

@@ -126,6 +126,12 @@ def test_candidate_pairs_chain_star_topology(spark):
 
 
 def test_candidate_pairs_hot_bucket_star_routing(spark):
+    """Over-cap buckets: all pairs among the hash-selected head
+    (portable_salt(id, ceil(size/cap)) == 0) plus (bucket-min, doc) star
+    edges for every other doc — computed here independently with the
+    python twin of the head-selection hash."""
+    from cpp_near_dedupe_spark.operators.pairs import portable_salt_py
+
     cfg = DedupeConfig(id_col="doc_id", hot_band_cap=4, pair_topology="all_pairs")
     n = 10
     bands = spark.createDataFrame(
@@ -133,8 +139,11 @@ def test_candidate_pairs_hot_bucket_star_routing(spark):
         schema="doc_id long, band_id int, band_key long",
     )
     got = {(r.a, r.b) for r in candidate_pairs(bands, cfg).collect()}
-    head_pairs = {(i, j) for i in range(4) for j in range(i + 1, 4)}
-    star_pairs = {(0, j) for j in range(4, n)}
+    n_salts = (n + 3) // 4
+    head = [i for i in range(n) if portable_salt_py(i, n_salts) == 0]
+    assert 0 < len(head) < n  # the head is a proper hash-selected subset
+    head_pairs = {(a, b) for a in head for b in head if a < b}
+    star_pairs = {(0, j) for j in range(1, n)}
     assert got == head_pairs | star_pairs
     # bucket stays connected: edges touch every doc
     touched = {x for p in got for x in p}

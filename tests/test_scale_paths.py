@@ -160,3 +160,93 @@ def test_signature_reps_empty_sketches_excluded(spark):
     out = signature_reps(sigs, CFG).toPandas().sort_values("doc_id")
     assert out.doc_id.tolist() == [2, 3]
     assert out.rep_id.tolist() == [2, 2]
+
+
+# ---------------------------------------------------------------------------
+# r4: the capped+star hot paths are WINDOWLESS — a degenerate bucket (the
+# simhash fingerprint-0 class, an all-zero embedding sign pattern, a
+# boilerplate band) must never be ranked in one O(h log h) window task.
+# The plan-level pin: NO Window node anywhere in the physical plan, and the
+# emitted pair count stays linear in the bucket overflow.
+# ---------------------------------------------------------------------------
+
+
+def _physical_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_all_pairs_hot_path_has_no_window(spark, hot_bands):
+    cfg = DedupeConfig(id_col="doc_id", hot_band_cap=256, pair_topology="all_pairs")
+    pairs = candidate_pairs(hot_bands, cfg)
+    assert "Window" not in _physical_plan(pairs)
+    pdf = pairs.toPandas()
+    h = 10_000
+    # head ~cap rows -> head pairs ~cap^2/2; star = h-1: linear, never h^2/2
+    assert len(pdf) < h + 300 * 300
+    comp = _union_find_components(
+        {(a, b) for a, b in zip(pdf.a, pdf.b) if b < h}, range(h)
+    )
+    assert len(set(comp.values())) == 1
+
+
+def test_simhash_hot_class_windowless_and_linear(spark):
+    """600 empty-text docs all share fingerprint 0 — the guaranteed hot
+    class at web scale. The pair plan must contain no Window node and emit
+    O(h) pairs while keeping the class one connected group."""
+    from cpp_near_dedupe_spark.operators.simhash import simhash_candidate_pairs
+
+    n = 600
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = simhash_candidate_pairs(docs, 3, hot_bucket_cap=64)
+    assert "Window" not in _physical_plan(pairs)
+    pdf = pairs.toPandas()
+    assert len(pdf) < n * n // 20  # linear-ish, nowhere near h^2/2
+    comp = _union_find_components(set(zip(pdf.a, pdf.b)), range(n))
+    assert len(set(comp.values())) == 1
+
+
+def test_embedding_lsh_hot_bucket_windowless(spark):
+    from cpp_near_dedupe_spark.operators.embedding_ann import cosine_dupe_pairs_lsh
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    rows = [
+        (i, [float(x) for x in base + 1e-4 * rng.standard_normal(64)])
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_dupe_pairs_lsh(emb, threshold=0.99, hot_bucket_cap=64)
+    assert "Window" not in _physical_plan(pairs)
+
+
+def test_capped_star_head_is_proper_hash_subset(spark):
+    """The hash-selected head of an over-cap bucket is a proper, value-
+    deterministic subset — the same rows regardless of partitioning."""
+    from cpp_near_dedupe_spark.operators.pairs import (
+        capped_star_pairs,
+        portable_salt_py,
+    )
+
+    n, cap = 1000, 64
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("K").alias("band_key")
+    )
+    for parts in (2, 16):
+        got = {
+            (r.a, r.b)
+            for r in capped_star_pairs(
+                rows.repartition(parts), ["band_key"], "doc_id", cap
+            ).collect()
+        }
+        ns = (n + cap - 1) // cap
+        head = [i for i in range(n) if portable_salt_py(i, ns) == 0]
+        assert 0 < len(head) < 3 * cap
+        expected = {(a, b) for a in head for b in head if a < b} | {
+            (0, j) for j in range(1, n)
+        }
+        assert got == expected  # identical at BOTH parallelism levels
