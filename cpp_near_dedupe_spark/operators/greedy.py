@@ -1,5 +1,5 @@
 """Strict arrival-order greedy resolution — the reference's exact keep/drop
-semantics as a distributed fixed-point.
+semantics, distributed by duplicate-graph component.
 
 The reference processes documents in arrival order and drops a doc iff it
 scores ≥ threshold against an already-RETAINED earlier doc
@@ -10,32 +10,43 @@ A~C edge, CC keeps only A (one cluster), greedy keeps A and C (B dropped
 against A; C's only match B is not retained).
 
 The greedy retained set is the lexicographically-first maximal independent
-set of the duplicate graph — inherently sequential in general, but
-computable in parallel rounds because a doc's fate depends only on its
-EARLIER neighbors: each round decides every doc whose earlier neighbors
-are all decided (the frontier). Round count = length of the longest
-decision chain; real dupe families are stars/cliques around their minimum,
-so 2-3 rounds decide virtually everything.
+set of the duplicate graph — inherently sequential in general, BUT the
+decision of a doc depends only on docs inside its own weakly-connected
+component, so components are embarrassingly parallel. Two engines:
 
-Per round, everything is hash joins on ids (no windows, no sorts):
+* **pandas** (default path): connected components over the edge list
+  (operators/clustering.py — O(log n) rounds), then one
+  ``applyInPandas`` per component running the reference's literal
+  sequential per-doc loop in memory. One Spark job decides EVERY
+  component regardless of its chain depth — a 500-link decision chain
+  that costs 500 rounds under the frontier engine is a single in-task
+  loop here. Components larger than ``component_cap`` fall back to the
+  frontier engine (they would not fit one task); real dupe families are
+  stars/cliques orders of magnitude below the cap.
 
-* ``frontier`` = undecided docs with no undecided earlier neighbor
-  (anti-join against the undecided edge heads);
-* frontier docs with an edge from a retained doc → dropped (semi-join);
-* the rest of the frontier → retained;
-* edges out of dropped docs are discarded (they can never drop anyone).
-
-Like connected_components, every round is lazily localCheckpoint-ed and
-the same job that materializes it counts the remaining undecided set —
-one Spark job per round, bounded lineage.
+* **frontier** (fallback + cross-check): parallel rounds — each round
+  decides every doc whose earlier neighbors are all decided. Round count
+  = length of the longest decision chain (`LAST_FRONTIER_ROUNDS` records
+  it); per round everything is hash joins, lazily localCheckpoint-ed,
+  one Spark job per round. Kept for over-cap components and as an
+  independent implementation the tests cross-verify against (plus the
+  driver's recursive-CTE DuckDB oracle, ``lsh_sql_greedy_kept``).
 """
 
 from __future__ import annotations
 
+from typing import Iterable
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupeConfig
+
+#: rounds used by the most recent frontier-engine invocation (observability
+#: for tests/bench — the "real families are stars" claim is measured, not
+#: assumed)
+LAST_FRONTIER_ROUNDS = 0
 
 
 def greedy_resolve(
@@ -43,16 +54,25 @@ def greedy_resolve(
     edges: DataFrame,
     cfg: DedupeConfig,
     max_rounds: int = 60,
+    engine: str = "auto",
+    component_cap: int = 1_000_000,
 ) -> DataFrame:
     """docs × duplicate edges (a, b) → (id, is_kept) for ALL docs, under
     the reference's arrival-order semantics (arrival order = ascending
     ``cfg.id_col``, the reference's (file_index, row_number) packed id).
 
     ``edges`` is undirected input; it is canonicalized to (earlier, later)
-    here. Docs without any edge never enter the loop (kept by definition,
-    unioned in at the end) — the loop's working set is only the duplicate
-    mass, a small fraction of the corpus at any scale.
+    here. Docs without any edge never enter either engine (kept by
+    definition, unioned in at the end) — the working set is only the
+    duplicate mass, a small fraction of the corpus at any scale.
+
+    ``engine``: "auto" = per-component pandas with frontier fallback for
+    components over ``component_cap`` rows; "frontier" = parallel rounds
+    only (bounded by ``max_rounds``); "pandas" = per-component only
+    (raises if any component exceeds the cap).
     """
+    if engine not in ("auto", "frontier", "pandas"):
+        raise ValueError(f"unknown greedy engine {engine!r}")
     id_col = cfg.id_col
     e = (
         edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
@@ -61,6 +81,114 @@ def greedy_resolve(
         .localCheckpoint(eager=False)
     )
 
+    if engine == "frontier":
+        dropped = _frontier_dropped(e, max_rounds)
+    else:
+        dropped = _component_dropped(e, max_rounds, engine, component_cap)
+
+    spark = docs.sparkSession
+    dropped_ids = (
+        dropped
+        if dropped is not None
+        else spark.createDataFrame([], "id long")
+    )
+    return docs.select(F.col(id_col)).join(
+        dropped_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+    ).select(id_col, F.lit(True).alias("is_kept")).unionByName(
+        dropped_ids.select(
+            F.col("id").alias(id_col), F.lit(False).alias("is_kept")
+        )
+    )
+
+
+def greedy_decide_py(
+    pairs: Iterable[tuple[int, int]], ids: Iterable[int]
+) -> dict[int, bool]:
+    """The reference's literal sequential loop (`ComparerThread.h:271-414`):
+    process ids ascending; drop iff an EARLIER RETAINED neighbor exists.
+    Shared by the per-component engine and the test oracle."""
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        lo, hi = (a, b) if a < b else (b, a)
+        if lo != hi:
+            adj.setdefault(hi, []).append(lo)
+    kept: set[int] = set()
+    decision: dict[int, bool] = {}
+    for i in sorted(set(ids)):
+        is_kept = not any(x in kept for x in adj.get(i, ()))
+        if is_kept:
+            kept.add(i)
+        decision[i] = is_kept
+    return decision
+
+
+def _component_dropped(
+    e: DataFrame, max_rounds: int, engine: str, component_cap: int
+) -> DataFrame | None:
+    """Dropped ids via per-component sequential resolution; components over
+    ``component_cap`` go through the frontier engine instead ("auto") or
+    raise ("pandas")."""
+    from .clustering import connected_components
+
+    comp = connected_components(e, distinct_pairs=True)
+    tagged = e.join(
+        comp.select(F.col("id").alias("a"), F.col("cluster_id").alias("comp")), "a"
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    big = sizes.filter(F.col("n") > component_cap).select(
+        F.col("cluster_id").alias("comp")
+    )
+    # the big list is empty in practice (a >cap-member duplicate FAMILY
+    # means the corpus is degenerate); broadcast routing either way
+    small = tagged.join(F.broadcast(big), "comp", "left_anti")
+
+    def resolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_kept = [], []
+        # a partition may carry multiple (small) components
+        for _, g in pdf.groupby("comp", sort=False):
+            pairs = zip(g["a"].tolist(), g["b"].tolist())
+            ids = set(g["a"].tolist()) | set(g["b"].tolist())
+            for i, k in greedy_decide_py(pairs, ids).items():
+                out_ids.append(i)
+                out_kept.append(k)
+        return pd.DataFrame({"id": out_ids, "is_kept": out_kept})
+
+    decided = small.groupBy("comp").applyInPandas(resolve, "id long, is_kept boolean")
+    dropped = decided.filter(~F.col("is_kept")).select("id")
+
+    n_big = big.limit(1).count()
+    if n_big:
+        if engine == "pandas":
+            raise ValueError(
+                f"a duplicate component exceeds component_cap={component_cap}; "
+                "use engine='auto' (frontier fallback) for degenerate graphs"
+            )
+        big_edges = tagged.join(F.broadcast(big), "comp", "left_semi").select("a", "b")
+        big_dropped = _frontier_dropped(
+            big_edges.localCheckpoint(eager=False), max_rounds
+        )
+        if big_dropped is not None:
+            dropped = dropped.unionByName(big_dropped)
+    return dropped
+
+
+def _frontier_dropped(e: DataFrame, max_rounds: int) -> DataFrame | None:
+    """Dropped ids via parallel frontier rounds over canonicalized edges.
+
+    Per round, everything is hash joins on ids (no windows, no sorts):
+
+    * ``frontier`` = undecided docs with no undecided earlier neighbor
+      (anti-join against the undecided edge heads);
+    * frontier docs with an edge from a retained doc → dropped (semi-join);
+    * the rest of the frontier → retained;
+    * edges out of dropped docs are discarded (they can never drop anyone).
+
+    Every round is lazily localCheckpoint-ed and the same job that
+    materializes it counts the remaining undecided set — one Spark job per
+    round, bounded lineage. Raises only if undecided docs REMAIN after
+    ``max_rounds`` (converging on exactly the last round is success).
+    """
+    global LAST_FRONTIER_ROUNDS
     undecided = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
@@ -71,9 +199,15 @@ def greedy_resolve(
     dropped = None  # ids decided dropped
 
     remaining = undecided.count()
-    for _ in range(max_rounds):
-        if remaining == 0:
-            break
+    rounds = 0
+    while remaining > 0:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"greedy frontier did not converge in {max_rounds} rounds "
+                f"({remaining} docs undecided — decision-chain depth exceeds "
+                "the round budget; raise max_rounds or use engine='auto')"
+            )
+        rounds += 1
         # frontier: undecided docs none of whose EARLIER neighbors are
         # still undecided (edge heads `a` still in play)
         live_heads = e.join(
@@ -114,22 +248,9 @@ def greedy_resolve(
         new_remaining = undecided.count()
         if new_remaining == remaining:
             raise RuntimeError(
-                "greedy_resolve made no progress (cyclic ordering impossible "
+                "greedy frontier made no progress (cyclic ordering impossible "
                 "— this indicates corrupt edge input)"
             )
         remaining = new_remaining
-    else:
-        raise RuntimeError(f"greedy_resolve did not converge in {max_rounds} rounds")
-
-    dropped_ids = (
-        dropped
-        if dropped is not None
-        else docs.sparkSession.createDataFrame([], "id long")
-    )
-    return docs.select(F.col(id_col)).join(
-        dropped_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
-    ).select(id_col, F.lit(True).alias("is_kept")).unionByName(
-        dropped_ids.select(
-            F.col("id").alias(id_col), F.lit(False).alias("is_kept")
-        )
-    )
+    LAST_FRONTIER_ROUNDS = rounds
+    return dropped

@@ -166,13 +166,26 @@ def write_arrow_ipc(
     a multiple of cluster parallelism) and sorted within the partition by
     (file_index, row_number); the task streams batches into one IPC writer
     per file, switching writers on file_index change — memory is one Arrow
-    batch, never a whole file. Each file is written to a temp path and
-    atomically renamed, so task retries cannot leave torn outputs.
+    batch, never a whole file. Each file is written to an ATTEMPT-UNIQUE
+    temp path (``.inprogress-<taskAttemptId>`` — Spark's output-committer
+    pattern) and atomically renamed: a speculative or zombie retry of the
+    same task writes its own temp file, so interleaved writes can never
+    publish torn bytes, and the deterministic per-file content makes the
+    last rename-wins outcome identical either way.
 
-    Returns a (file_index, path, rows) DataFrame — one row per written
-    file; the caller triggers the job by consuming it (e.g. via
-    ``validate_arrow_ipc`` below, the reference's re-read validation pass,
-    `DupeResolverThread.h:399-428`).
+    Both output passes are distributed: the survivors stream through
+    ``mapInArrow`` above, and inputs whose rows were all deduped away get
+    their schema-only mirror files from a second distributed map over the
+    anti-joined missing-file list — the driver never collects a per-file
+    row or writes a file itself (at reference scale the input tree is
+    ~10⁶ files; a driver loop over them would serialize the tail).
+
+    Returns the (file_index, path, rows) summary DataFrame — one row per
+    written file, zero-row entries included, already materialized (the
+    write job runs exactly once inside this function; re-consuming the
+    returned summary re-reads the registry-tracked cache, it does not
+    rewrite). Callers typically follow with ``validate_arrow_ipc`` below,
+    the reference's re-read validation pass (`DupeResolverThread.h:399-428`).
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -198,9 +211,22 @@ def write_arrow_ipc(
         "file_index", "row_number"
     )
 
+    def _attempt_suffix() -> str:
+        # attempt-unique temp name: concurrent attempts of the same task
+        # (speculation, zombie retries) never share a temp file
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            return str(ctx.taskAttemptId())
+        import uuid
+
+        return uuid.uuid4().hex  # driver-side/test invocation
+
     def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         results: list[tuple[int, str, int]] = []
         cur_fi, writer, sink, tmp, final, rows = -1, None, None, None, None, 0
+        suffix = _attempt_suffix()
 
         def close_current():
             nonlocal writer, sink, rows
@@ -216,7 +242,7 @@ def write_arrow_ipc(
             cur_fi = fi
             final = os.path.join(out_base, rel_paths[fi])
             os.makedirs(os.path.dirname(final), exist_ok=True)
-            tmp = final + ".inprogress"
+            tmp = f"{final}.inprogress-{suffix}"
             sink = pa.OSFile(tmp, "wb")
             writer = pa.ipc.new_stream(sink, data_schema)
 
@@ -248,24 +274,59 @@ def write_arrow_ipc(
                 names=["file_index", "path", "rows"],
             )
 
-    summary = out.mapInArrow(
-        write, schema="file_index long, path string, rows long"
-    ).persist()
-    written = {r.file_index for r in summary.select("file_index").collect()}
+    from ..cache import track
+
+    summary = track(
+        out.mapInArrow(write, schema="file_index long, path string, rows long")
+    )
+    # materialize the write job exactly ONCE (count is distributed — no
+    # per-file row ever reaches the driver); later consumers read the cache
+    summary.count()
 
     if write_empty_files:
-        # inputs with zero survivors: schema-only streams, driver-side
-        # (the set is the complement of the written files — normally tiny)
-        for fi, rel in enumerate(rel_paths):
-            if fi in written:
-                continue
-            final = os.path.join(out_base, rel)
-            os.makedirs(os.path.dirname(final), exist_ok=True)
-            tmp = final + ".inprogress"
-            with pa.OSFile(tmp, "wb") as sink:
-                with pa.ipc.new_stream(sink, data_schema):
-                    pass
-            os.replace(tmp, final)
+        # inputs with zero survivors: schema-only mirror files, found by
+        # anti-joining the (already driver-resident) input listing against
+        # the written summary and created inside a distributed map — at
+        # reference scale this tail can be most of a 10⁶-file tree
+        all_files = spark.createDataFrame(
+            list(enumerate(rel_paths)), "file_index long, rel string"
+        )
+        missing = all_files.join(summary, "file_index", "left_anti").repartition(
+            min(max(len(files) // 256, 1), 4 * spark.sparkContext.defaultParallelism)
+        )
+
+        def write_empty(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            suffix = _attempt_suffix()
+            results: list[tuple[int, str]] = []
+            for b in batches:
+                for fi, rel in zip(
+                    b.column("file_index").to_pylist(), b.column("rel").to_pylist()
+                ):
+                    final = os.path.join(out_base, rel)
+                    os.makedirs(os.path.dirname(final), exist_ok=True)
+                    tmp = f"{final}.inprogress-{suffix}"
+                    with pa.OSFile(tmp, "wb") as sink:
+                        with pa.ipc.new_stream(sink, data_schema):
+                            pass
+                    os.replace(tmp, final)
+                    results.append((fi, final))
+            if results:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([r[0] for r in results], pa.int64()),
+                        pa.array([r[1] for r in results], pa.string()),
+                        pa.array([0] * len(results), pa.int64()),
+                    ],
+                    names=["file_index", "path", "rows"],
+                )
+
+        empties = track(
+            missing.mapInArrow(
+                write_empty, schema="file_index long, path string, rows long"
+            )
+        )
+        empties.count()  # one-shot distributed creation of the empty tail
+        summary = summary.unionByName(empties)
     return summary
 
 

@@ -169,3 +169,42 @@ def test_e2e_dedupe_over_arrow_input(spark, fixture_dir):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = res_pq.resolved.toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_write_many_files_distributed_empty_tail(spark, tmp_path):
+    """r4: ~100 input files, a third losing ALL rows to dedupe — the
+    schema-only mirror files come from a distributed map (no driver loop,
+    no per-file collect), the summary includes their zero-row entries, and
+    re-consuming the returned summary does not re-run the write job."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    n_files = 96
+    for i in range(n_files):
+        tbl = pa.table(
+            {"doc_id": pa.array([i], pa.int64()), "text": [f"unique text {i}"]}
+        )
+        with pa.OSFile(os.path.join(src, f"f{i:03d}.arrow"), "wb") as sink:
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+    df = read_arrow_ipc(spark, src)
+    survivors = df.filter(df.file_index % 3 != 0)  # every 3rd file emptied
+    out = str(tmp_path / "out")
+    summary = write_arrow_ipc(survivors, src, out)
+    pdf = summary.toPandas()
+    assert len(pdf) == n_files  # one summary row per mirrored file
+    assert (pdf.rows == 0).sum() == n_files // 3
+    assert len(discover_arrow_files(out)) == n_files
+    # no stray temp files (attempt-unique .inprogress-* all renamed)
+    assert not [f for f in os.listdir(out) if ".inprogress" in f]
+    n_kept = survivors.count()
+    assert validate_arrow_ipc(spark, out, n_kept) == n_kept
+    # consuming the summary again must NOT rewrite (mtimes stable)
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
+    summary.count()
+    import time as _time
+
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }

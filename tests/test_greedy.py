@@ -227,3 +227,114 @@ def test_incremental_strict_order_matches_per_doc_reference(spark, tmp_path):
     )
     kept = dedupe_increment(spark, batch, state, CFG, strict_order=True)
     assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+def test_engines_agree_and_deep_chain_is_one_job(spark):
+    """r4: the per-component pandas engine must equal the frontier engine
+    on a mixed graph, and a 500-link decision chain — 500 rounds under
+    the frontier — resolves under 'auto' without touching max_rounds."""
+    import time
+
+    from cpp_near_dedupe_spark.operators import greedy as G
+
+    n = 500
+    chain = [(i, i + 1) for i in range(n - 1)]
+    extra = [(1000, 1001), (1000, 1002), (1001, 1002)]  # a clique component
+    ids = list(range(n)) + [1000, 1001, 1002, 2000]  # 2000 = edgeless
+    docs = _ids_df(spark, ids)
+    edges = _edges_df(spark, chain + extra)
+
+    t0 = time.time()
+    auto = {
+        r.doc_id: r.is_kept
+        for r in greedy_resolve(docs, edges, CFG, engine="auto").collect()
+    }
+    auto_wall = time.time() - t0
+    # alternating keep on the chain (greedy MIS from the minimum)
+    for i in range(n):
+        assert auto[i] == (i % 2 == 0), f"doc {i}"
+    assert auto[1000] and not auto[1001] and not auto[1002]
+    assert auto[2000]
+    # the frontier engine on the same chain would need n-1 rounds — prove
+    # the claim on a shorter chain and pin the round count
+    short = [(i, i + 1) for i in range(39)]
+    frontier = {
+        r.doc_id: r.is_kept
+        for r in greedy_resolve(
+            _ids_df(spark, range(40)),
+            _edges_df(spark, short),
+            CFG,
+            engine="frontier",
+            max_rounds=60,
+        ).collect()
+    }
+    # rounds == decision-chain depth in NODES: doc 0 decides in round 1,
+    # each successor one round later -> 40 rounds for a 40-node chain
+    assert G.LAST_FRONTIER_ROUNDS == 40
+    assert all(frontier[i] == (i % 2 == 0) for i in range(40))
+    print(f"auto engine resolved 500-chain in {auto_wall:.1f}s "
+          f"(frontier: 40 rounds for a 40-node chain)")
+
+
+def test_frontier_converging_on_last_round_is_success(spark):
+    """ADVICE r3: converging in exactly max_rounds must not raise (the old
+    for/else raised 'did not converge' despite full convergence)."""
+    chain = [(i, i + 1) for i in range(5)]  # decision depth exactly 6 nodes
+    out = greedy_resolve(
+        _ids_df(spark, range(6)),
+        _edges_df(spark, chain),
+        CFG,
+        engine="frontier",
+        max_rounds=6,
+    ).toPandas()
+    assert len(out) == 6  # no RuntimeError
+
+
+def test_frontier_round_budget_exceeded_raises_cleanly(spark):
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(10)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        greedy_resolve(
+            _ids_df(spark, range(11)),
+            _edges_df(spark, chain),
+            CFG,
+            engine="frontier",
+            max_rounds=3,
+        ).collect()
+
+
+def test_pandas_engine_rejects_over_cap_component(spark):
+    import pytest as _pytest
+
+    edges = _edges_df(spark, [(i, i + 1) for i in range(9)])
+    with _pytest.raises(ValueError, match="component_cap"):
+        greedy_resolve(
+            _ids_df(spark, range(10)),
+            edges,
+            CFG,
+            engine="pandas",
+            component_cap=5,
+        ).collect()
+
+
+def test_auto_falls_back_to_frontier_for_big_components(spark):
+    """Over-cap components route through the frontier engine; results must
+    still match the python oracle."""
+    from cpp_near_dedupe_spark.operators.greedy import greedy_decide_py
+
+    star = [(0, j) for j in range(1, 30)]          # big (cap=10) star
+    small = [(100, 101), (101, 102)]               # small chain
+    ids = list(range(30)) + [100, 101, 102]
+    out = {
+        r.doc_id: r.is_kept
+        for r in greedy_resolve(
+            _ids_df(spark, ids),
+            _edges_df(spark, star + small),
+            CFG,
+            engine="auto",
+            component_cap=10,
+        ).collect()
+    }
+    expect = greedy_decide_py(star + small, ids)
+    assert out == expect
