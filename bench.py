@@ -50,7 +50,9 @@ def main() -> int:
 
     cfg = DedupeConfig()
     queries = entry_mod.queries()
-    headline = [
+    # the r1-r3 comparable core set; its subtotal is reported separately
+    # (core11_total) so round-over-round comparisons stay apples-to-apples
+    core11 = [
         "lsh_clusters",        # full pipeline end-to-end
         "lsh_candidate_pairs",
         "exact_dedupe",
@@ -62,6 +64,13 @@ def main() -> int:
         "ann_topk",
         "ann_lsh_topk",
         "binary_features",
+    ]
+    # r4: operators added in r3 join the headline so their regressions are
+    # visible round-over-round (VERDICT r3 #8)
+    headline = core11 + [
+        "lsh_greedy_kept",           # pipeline edges + strict-order greedy
+        "bpe_token_stats",
+        "embedding_dupe_pairs_lsh",
     ]
     from cpp_near_dedupe_spark.cache import release_all
 
@@ -76,11 +85,13 @@ def main() -> int:
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     total = round(sum(timings.values()), 3)
+    core11_total = round(sum(timings[q] for q in core11), 3)
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "core11_total": core11_total,  # r1-r3 comparable subtotal
         "sf": sf_dir,
         "docs": n_docs,
         "pipeline_docs_per_sec": round(n_docs / max(timings["lsh_clusters"], 1e-9), 1),

@@ -96,10 +96,39 @@ def _pad_codes(strs: list[str], pad: int) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+# byte length above which a pair leaves the batch-matrix path: the kernel
+# pads the WHOLE batch to the longest string, so one megabyte outlier in a
+# 10k-row batch would allocate O(n·Lmax) int16 matrices (multi-GB) and do
+# O(Lmax·Wmax) work for every pair. Long outliers take the scalar loop,
+# which degrades gracefully per-pair. JW is for short identity strings;
+# 512 B covers urls/titles/names with huge margin.
+_BATCH_LEN_CAP = 512
+
+
 def jaro_winkler_batch(left: list[str], right: list[str]) -> np.ndarray:
     n = len(left)
     if n == 0:
         return np.empty(0, dtype=np.float64)
+    enc_l = [(s or "").encode("utf-8") for s in left]
+    enc_r = [(s or "").encode("utf-8") for s in right]
+    long_idx = [
+        i
+        for i in range(n)
+        if len(enc_l[i]) > _BATCH_LEN_CAP or len(enc_r[i]) > _BATCH_LEN_CAP
+    ]
+    if long_idx:
+        # split: long outliers via the scalar spec, the rest batched —
+        # the batch matrices stay bounded at n × _BATCH_LEN_CAP
+        out = np.empty(n, dtype=np.float64)
+        long_set = set(long_idx)
+        short_idx = [i for i in range(n) if i not in long_set]
+        if short_idx:
+            out[short_idx] = jaro_winkler_batch(
+                [left[i] for i in short_idx], [right[i] for i in short_idx]
+            )
+        for i in long_idx:
+            out[i] = jaro_winkler(left[i] or "", right[i] or "")
+        return out
     a, la = _pad_codes(left, pad=256)
     b, lb = _pad_codes(right, pad=257)
     l1, l2 = a.shape[1], b.shape[1]

@@ -206,8 +206,10 @@ def ivf_centroids(
     partition layout. Training on a sample is the standard IVF design
     (a codebook needs distributional coverage, not every row). Lloyd
     iterations run in driver numpy over ≤ sample_cap unit vectors; empty
-    clusters are re-seeded from the worst-served point so the codebook
-    always keeps ``n_centroids`` live entries."""
+    clusters are re-seeded from DISTINCT worst-served points (ascending
+    best-centroid similarity), so the codebook always keeps
+    ``n_centroids`` live, non-duplicate entries — reseeding every empty
+    cluster from the SAME point would merge them permanently."""
     sample = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_cap).toPandas()
     )
@@ -219,10 +221,15 @@ def ivf_centroids(
     for _ in range(n_iters):
         sims = mat @ cent.T  # (n, kc) cosine, both sides unit
         assign = sims.argmax(1)
-        worst = sims.max(1).argmin()
+        empties = [c for c in range(kc) if not (assign == c).any()]
+        # worst-served points, worst first; one DISTINCT seed per empty
+        worst_order = np.argsort(sims.max(1))
         for c in range(kc):
             members = mat[assign == c]
-            cent[c] = members.sum(0) if len(members) else mat[worst]
+            if len(members):
+                cent[c] = members.sum(0)
+        for j, c in enumerate(empties):
+            cent[c] = mat[worst_order[j % len(worst_order)]]
         cent /= np.linalg.norm(cent, axis=1, keepdims=True) + 1e-12
     return cent
 

@@ -79,23 +79,71 @@ class SignatureState:
         state intact under ``_old``; ``_recover()`` (called here and on
         every read) renames it back. Stale ``_compacting``/``_old``
         leftovers from prior crashes are cleared up-front, so compact
-        always starts from a clean slate instead of raising."""
+        always starts from a clean slate instead of raising.
+
+        Concurrency: compaction is single-writer, enforced with an
+        O_EXCL lock file at the state root — two simultaneous compacts
+        would race on the same ``_compacting``/``_old`` renames. A second
+        caller raises ``RuntimeError`` immediately (maintenance jobs
+        should serialize, not queue). A lock left behind by a crashed
+        compact is broken after ``lock_timeout_sec`` (the dead process
+        cannot refresh its mtime)."""
         import shutil
 
-        for path in (self.sig_path, self.bands_path):
-            self._recover(path)
-            tmp, old = path + "_compacting", path + "_old"
-            shutil.rmtree(tmp, ignore_errors=True)  # stale half-written rewrite
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                continue
-            df = self.spark.read.parquet(path)
-            n = target_partitions or max(
-                2, self.spark.sparkContext.defaultParallelism
+        self._acquire_lock()
+        try:
+            for path in (self.sig_path, self.bands_path):
+                self._recover(path)
+                tmp, old = path + "_compacting", path + "_old"
+                shutil.rmtree(tmp, ignore_errors=True)  # stale half-written rewrite
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    continue
+                df = self.spark.read.parquet(path)
+                n = target_partitions or max(
+                    2, self.spark.sparkContext.defaultParallelism
+                )
+                df.repartition(n).write.mode("overwrite").parquet(tmp)
+                os.rename(path, old)
+                os.rename(tmp, path)  # crash before this line -> _recover undoes
+                shutil.rmtree(old)
+        finally:
+            self._release_lock()
+
+    # single-writer compaction lock -------------------------------------
+    lock_timeout_sec: float = 3600.0
+
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, "_compact.lock")
+
+    def _acquire_lock(self) -> None:
+        import time
+
+        lock = self._lock_path
+        try:
+            if (
+                os.path.exists(lock)
+                and time.time() - os.path.getmtime(lock) > self.lock_timeout_sec
+            ):
+                os.unlink(lock)  # holder died long ago; break the lock
+        except FileNotFoundError:
+            pass
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"another compact holds {lock}; state compaction is "
+                "single-writer (serialize maintenance jobs, or remove the "
+                "lock file if the holder is known dead)"
             )
-            df.repartition(n).write.mode("overwrite").parquet(tmp)
-            os.rename(path, old)
-            os.rename(tmp, path)  # crash before this line -> _recover undoes
-            shutil.rmtree(old)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(os.getpid()))
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self._lock_path)
+        except FileNotFoundError:
+            pass
 
     @staticmethod
     def _recover(path: str) -> None:

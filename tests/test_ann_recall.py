@@ -185,3 +185,24 @@ def test_cosine_dupe_pairs_lsh_hot_bucket_capped(spark):
     for a, b in zip(got.a, got.b):
         parent[find(a)] = find(b)
     assert len({find(i) for i in range(600)}) == 1
+
+
+def test_ivf_empty_clusters_reseed_distinct(spark):
+    """r4 (VERDICT #5): when several clusters empty in one Lloyd
+    iteration, each is reseeded from a DISTINCT worst-served point — the
+    old same-point reseed left them merged (measured: 6 of 8 distinct on
+    this fixture; must be 8 of 8). One iteration so the reseed result IS
+    the returned codebook."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import ivf_centroids
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in base]) for i in range(30)]
+    rows += [
+        (30 + j, [float(x) for x in rng.standard_normal(16) * 3]) for j in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = ivf_centroids(
+        emb, n_centroids=8, n_iters=1, seed=7, id_col="vec_id", vec_col="embedding"
+    )
+    assert len(np.unique(np.round(cent, 9), axis=0)) == 8

@@ -215,3 +215,22 @@ def test_jaccard_batch_matches_oracle():
     got = jaccard_batch(a_list, b_list)
     for a, b, g in zip(a_list, b_list, got):
         assert g == pytest.approx(jaccard_oracle(a, b))
+
+
+def test_jaro_winkler_batch_long_outlier_guard():
+    """ADVICE r3: one long outlier must not inflate the whole batch's
+    padded matrices — outliers over the length cap take the scalar loop;
+    values must equal the scalar spec either way."""
+    import numpy as np
+
+    from cpp_near_dedupe_spark.functions.jaro_winkler import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    big = "x" * 100_000 + "tail"
+    left = ["martha", big, "dwayne", "", big]
+    right = ["marhta", big[:-1] + "?", "duane", "abc", big]
+    got = jaro_winkler_batch(left, right)
+    exp = np.array([jaro_winkler(a, b) for a, b in zip(left, right)])
+    np.testing.assert_allclose(got, exp, rtol=0, atol=1e-12)
