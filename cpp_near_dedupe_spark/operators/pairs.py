@@ -198,7 +198,17 @@ def candidate_pairs(
 def _chain_star_window(bands: DataFrame, id_col: str, part_cols: list[str]) -> DataFrame:
     """Chain + star pairs within each window partition (docs sorted by id):
     (predecessor, doc) chain pairs plus (partition_min, doc) star pairs —
-    2 candidates per row instead of h²/2 per bucket."""
+    2 candidates per row instead of h²/2 per bucket.
+
+    Single-pass formulation: both pair kinds are emitted from ONE window
+    projection as a 2-struct array + explode. The earlier two-branch union
+    re-ran the whole Window+Sort subtree (and, when the bands table was
+    not cached, its entire upstream lineage incl. the sketch kernel) once
+    per branch — Spark does not CSE duplicated plan subtrees. The when()
+    guards reproduce the branch filters exactly: a chain struct only when
+    a predecessor exists; a star struct only when the partition min is
+    neither the doc itself nor already its chain predecessor (NULL prev
+    makes the star condition NULL → struct NULL → filtered)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*part_cols).orderBy(F.col(id_col))
@@ -207,13 +217,19 @@ def _chain_star_window(bands: DataFrame, id_col: str, part_cols: list[str]) -> D
         F.lag(id_col).over(w).alias("prev"),
         F.first(id_col).over(w).alias("bmin"),  # running first = partition min
     )
-    chain = ranked.filter(F.col("prev").isNotNull()).select(
-        F.col("prev").alias("a"), F.col(id_col).alias("b")
+    chain_s = F.when(
+        F.col("prev").isNotNull(),
+        F.struct(F.col("prev").alias("a"), F.col(id_col).alias("b")),
     )
-    star = ranked.filter(
-        (F.col("bmin") != F.col(id_col)) & (F.col("bmin") != F.col("prev"))
-    ).select(F.col("bmin").alias("a"), F.col(id_col).alias("b"))
-    return chain.unionByName(star)
+    star_s = F.when(
+        (F.col("bmin") != F.col(id_col)) & (F.col("bmin") != F.col("prev")),
+        F.struct(F.col("bmin").alias("a"), F.col(id_col).alias("b")),
+    )
+    return (
+        ranked.select(F.explode(F.array(chain_s, star_s)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
 
 
 def _chain_star_pairs(
