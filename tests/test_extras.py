@@ -206,3 +206,34 @@ def test_signature_state_compact(spark, tmp_path):
     more = spark.createDataFrame([(100, texts[0])], "doc_id long, text string")
     kept = dedupe_increment(spark, more, state, cfg)
     assert kept.count() == 0  # exact dupe of doc 0 -> dropped against state
+
+
+def test_simhash_batch_global_equals_perdoc():
+    """r4: the batch-global kernel (one run-detection pass, byte-histogram
+    bit counting) must be bit-equal to the per-doc reference formulation
+    on a shape-diverse batch (empty, punct-only, unicode, short, long)."""
+    import random
+    import string
+
+    import numpy as np
+
+    from cpp_near_dedupe_spark.operators.simhash import (
+        simhash_batch,
+        simhash_batch_perdoc,
+    )
+
+    rng = random.Random(11)
+
+    def mk(n):
+        return " ".join(
+            "".join(
+                rng.choices(string.ascii_letters + "0123456789éü ", k=rng.randint(1, 12))
+            )
+            for _ in range(n)
+        )
+
+    texts = (
+        [mk(rng.randint(0, 200)) for _ in range(300)]
+        + ["", "   ...!!", "a", "ÀÉ漢字 test 123", "x" * 4000, "7 7 7 seven"]
+    )
+    assert np.array_equal(simhash_batch_perdoc(texts), simhash_batch(texts))
