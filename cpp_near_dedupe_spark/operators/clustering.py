@@ -26,7 +26,7 @@ rounds also bounds recomputation on executor loss.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,11 +42,14 @@ def _canonicalize(edges: DataFrame, distinct_pairs: bool = False) -> DataFrame:
 
 
 # Both star steps need "min over the node's neighborhood" attached to every
-# edge row. A whole-partition window (partitionBy u, no ordering) computes
-# it in the SAME shuffle that groups the rows — one wide stage per star —
-# where a groupBy+self-join would shuffle the edge list twice more per
-# round. Round fixed-cost matters: CC runs 3-5 rounds of small data, so
-# stage count, not bytes, dominates its wall time.
+# edge row. An earlier formulation used a whole-partition window
+# (partitionBy u) — one wide stage per star, fewer shuffles per round.
+# r4 switched to groupBy + join-back: the window put a hub's ENTIRE
+# adjacency in one task, and the pair generators' star topology
+# deliberately manufactures mega-hubs (the bucket minimum of a hot
+# bucket). The extra aggregation shuffle is map-side-combined (tiny), the
+# join on the skewed key is AQE-skew-splittable, and the measured
+# small-scale round cost is within noise of the window formulation.
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -55,27 +58,38 @@ def _large_star(edges: DataFrame) -> DataFrame:
     # dedup shuffle per round instead of two. (Kiveris et al. dedup both
     # steps only to bound intermediate growth; a star step inflates the
     # edge list ≤2× transiently, which the next shuffle absorbs.)
+    #
+    # Per-node min via groupBy + join-back, NOT a window: a window
+    # partitioned on u puts a hub's entire adjacency in ONE task (AQE
+    # cannot split window partitions) — and the pair generators' star
+    # topology deliberately MANUFACTURES such hubs (the bucket minimum of
+    # a 10⁷-row boilerplate bucket has degree 10⁷). The aggregation
+    # collapses map-side (tiny shuffle), and the join on the skewed key is
+    # exactly what AQE skew-splitting handles.
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    w = Window.partitionBy("u")
-    m = F.least(F.min("v").over(w), F.col("u"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     return (
-        sym.withColumn("m", m)
+        sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("mv"), F.col("u")).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    # edges are canonical u > v, so min(N_small(u) ∪ {u}) = min(v)
-    w = Window.partitionBy("u")
-    with_min = edges.withColumn("m", F.min("v").over(w))
+    # edges are canonical u > v, so min(N_small(u) ∪ {u}) = min(v).
+    # Same groupBy+join shape as _large_star (no hub-in-one-task window).
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = edges.join(mins, "u")
     moved = with_min.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    selfe = with_min.select("u", F.col("m").alias("v"))
+    selfe = mins.select("u", F.col("m").alias("v"))
     return moved.unionByName(selfe).distinct()
 
 
