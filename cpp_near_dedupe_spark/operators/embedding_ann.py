@@ -71,11 +71,29 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(_cosine(F.col("q"), F.col("v")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k via two-phase ranking (see
+    ``_exact_rescore_topk`` for why a single per-query window is a
+    skew hazard): local top-k within (query_id, neighbor-salt)
+    sub-partitions, then a final rank over ≤ 64·k rows per query.
+    Identical to the single-window answer under the deterministic
+    (cosine desc, neighbor_id) total order."""
+    n_salts = 64
+    order = (F.col("cosine").desc(), F.col("neighbor_id"))
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salts))
+    ).orderBy(*order)
+    reduced = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -161,8 +179,18 @@ def _exact_rescore_topk(
     vec_col: str,
 ) -> DataFrame:
     """(query_id, neighbor_id) candidates → exact-cosine top-k per query.
-    Shared tail of every ANN path: JVM-side cosine, window row_number with
-    deterministic tie-break, queries broadcast."""
+    Shared tail of every ANN path: JVM-side cosine, two-phase top-k with a
+    deterministic tie-break, queries broadcast.
+
+    Two-phase top-k: a single ``row_number() over (partition by query_id)``
+    would put a query's ENTIRE candidate set in one window task — for a
+    degenerate bucket (boilerplate embeddings at web scale) that is the
+    hub-in-one-task straggler again. Phase 1 ranks within
+    (query_id, salt-of-neighbor) sub-partitions — bounded fan-in — and
+    keeps each sub-partition's local top-k; phase 2 ranks the surviving
+    ≤ 64·k rows per query. The global top-k under the total order
+    (cosine desc, neighbor_id asc) is contained in the union of local
+    top-ks, so the result is EXACTLY the single-window answer."""
     vecs = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -178,14 +206,7 @@ def _exact_rescore_topk(
             F.round(_cosine(F.col("q"), F.col("v")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_centroids(
