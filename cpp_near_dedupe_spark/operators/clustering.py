@@ -42,33 +42,48 @@ def _canonicalize(edges: DataFrame, distinct_pairs: bool = False) -> DataFrame:
 
 
 # Both star steps need "min over the node's neighborhood" attached to every
-# edge row. An earlier formulation used a whole-partition window
-# (partitionBy u) — one wide stage per star, fewer shuffles per round.
-# r4 switched to groupBy + join-back: the window put a hub's ENTIRE
-# adjacency in one task, and the pair generators' star topology
-# deliberately manufactures mega-hubs (the bucket minimum of a hot
-# bucket). The extra aggregation shuffle is map-side-combined (tiny), the
-# join on the skewed key is AQE-skew-splittable, and the measured
-# small-scale round cost is within noise of the window formulation.
+# edge row. Two physical formulations, chosen PER ROUND from the edge
+# count the convergence checksum already measures (zero extra jobs):
+#
+# * window (partitionBy u): one wide stage per star — cheapest, but a
+#   hub's ENTIRE adjacency lands in one task (AQE cannot split window
+#   partitions), and the pair generators' star topology deliberately
+#   MANUFACTURES mega-hubs (the bucket minimum of a 10⁷-row boilerplate
+#   bucket has degree 10⁷). Safe exactly when the TOTAL edge count bounds
+#   every possible hub to a fine-grained task (≤ _WINDOW_EDGE_CAP).
+# * groupBy + join-back: the aggregation collapses map-side (tiny
+#   shuffle) and the join on the skewed key is AQE-skew-splittable — the
+#   at-scale formulation; measured ~+8% per pipeline run at sf0.1, which
+#   the adaptive choice avoids paying on small inputs. Since the edge set
+#   SHRINKS over rounds, at-scale runs also flip to the cheap window plan
+#   for their small residual rounds.
+#
+# Interleaved A/B at sf0.1 (best-of-4 warm): window 5.09/5.35 s vs
+# groupBy+join 5.70/5.81 s end-to-end pipeline (BENCH/BASELINE.md).
+
+_WINDOW_EDGE_CAP = 1_000_000  # max rows a single window task may see
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, use_window: bool = False) -> DataFrame:
     # No distinct here: duplicate edges don't change any per-node min, and
     # the round's small_star ends in the canonicalizing distinct — one
     # dedup shuffle per round instead of two. (Kiveris et al. dedup both
     # steps only to bound intermediate growth; a star step inflates the
     # edge list ≤2× transiently, which the next shuffle absorbs.)
-    #
-    # Per-node min via groupBy + join-back, NOT a window: a window
-    # partitioned on u puts a hub's entire adjacency in ONE task (AQE
-    # cannot split window partitions) — and the pair generators' star
-    # topology deliberately MANUFACTURES such hubs (the bucket minimum of
-    # a 10⁷-row boilerplate bucket has degree 10⁷). The aggregation
-    # collapses map-side (tiny shuffle), and the join on the skewed key is
-    # exactly what AQE skew-splitting handles.
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    if use_window:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("u")
+        m = F.least(F.min("v").over(w), F.col("u"))
+        return (
+            sym.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     return (
         sym.join(mins, "u")
@@ -81,9 +96,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    # edges are canonical u > v, so min(N_small(u) ∪ {u}) = min(v).
-    # Same groupBy+join shape as _large_star (no hub-in-one-task window).
+def _small_star(edges: DataFrame, use_window: bool = False) -> DataFrame:
+    # edges are canonical u > v, so min(N_small(u) ∪ {u}) = min(v)
+    if use_window:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("u")
+        with_min = edges.withColumn("m", F.min("v").over(w))
+        moved = with_min.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
+            F.col("u") != F.col("v")
+        )
+        selfe = with_min.select("u", F.col("m").alias("v"))
+        return moved.unionByName(selfe).distinct()
     mins = edges.groupBy("u").agg(F.min("v").alias("m"))
     with_min = edges.join(mins, "u")
     moved = with_min.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
@@ -132,9 +156,12 @@ def connected_components(
         # latency that dominates CC wall time on small residual data. An
         # odd-round fixpoint just makes the extra round a no-op; the
         # checksum still stabilizes one job later.
-        nxt = _small_star(_large_star(cur))
+        # per-round physical choice from the edge count the previous
+        # checksum already measured (see the formulation comment above)
+        uw = prev_sum[0] <= _WINDOW_EDGE_CAP
+        nxt = _small_star(_large_star(cur, uw), uw)
         if i > 0:
-            nxt = _small_star(_large_star(nxt))
+            nxt = _small_star(_large_star(nxt, uw), uw)
         nxt = nxt.localCheckpoint(eager=False)
         cur_sum = _checksum(nxt)
         cur = nxt

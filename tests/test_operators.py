@@ -233,3 +233,25 @@ def test_resolve_and_output(spark):
     kept = dedupe_output(docs, resolved, CFG)
     assert {r.doc_id for r in kept.collect()} == {1, 3, 4}
     assert kept.columns == docs.columns  # full passthrough schema
+
+
+def test_cc_star_formulations_agree_spark(spark):
+    import random
+
+    from cpp_near_dedupe_spark.operators.clustering import (
+        _canonicalize,
+        _large_star,
+        _small_star,
+    )
+
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 200), rng.randint(0, 200)) for _ in range(600)]
+    # include a mega-hub, the case the adaptive gate exists for
+    edges += [(0, j) for j in range(1, 150)]
+    df = _canonicalize(
+        spark.createDataFrame(edges, "a long, b long"), distinct_pairs=False
+    )
+    for step in (_large_star, _small_star):
+        w = {(r.u, r.v) for r in step(df, True).distinct().collect()}
+        g = {(r.u, r.v) for r in step(df, False).distinct().collect()}
+        assert w == g, step.__name__
