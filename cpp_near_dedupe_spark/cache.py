@@ -17,14 +17,29 @@ DataFrame stays computable, it just loses the cache.
 Plan-shaped small relations (e.g. the hot-bucket stats broadcast in
 operators/pairs.py) deliberately do NOT persist at all — identical
 broadcast subtrees are collapsed by Spark's ReuseExchange rule instead.
+
+Scope: the registry is process-global and assumes SERIAL query execution
+on the driver — one query is built, materialized, and released before the
+next begins (the contract bench.py and the ``_released`` wrappers in
+``__spark_entry__`` follow). Concurrent queries on one driver would need a
+per-query registry token; with the global one, ``release_all`` from query
+A would unpersist query B's still-live caches — not a correctness bug
+(an unpersisted DataFrame stays computable) but a recomputation of any
+multi-consumer kernel, and for side-effecting plans the caller must
+materialize before any release (``write_arrow_ipc`` localCheckpoints its
+summary for exactly this reason). Registry mutations themselves are
+lock-protected so an interleaved track/release never corrupts the list.
 """
 
 from __future__ import annotations
+
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def track(
@@ -32,15 +47,19 @@ def track(
 ) -> DataFrame:
     """Persist ``df`` and register it for a later :func:`release_all`."""
     df.persist(level)
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
 def release_all(blocking: bool = False) -> int:
     """Unpersist every tracked DataFrame; returns how many were released."""
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while True:
+        with _LOCK:
+            if not _TRACKED:
+                break
+            df = _TRACKED.pop()
         try:
             df.unpersist(blocking)
         except Exception:
@@ -50,4 +69,5 @@ def release_all(blocking: bool = False) -> int:
 
 
 def tracked_count() -> int:
-    return len(_TRACKED)
+    with _LOCK:
+        return len(_TRACKED)

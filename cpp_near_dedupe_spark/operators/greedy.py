@@ -20,9 +20,10 @@ component, so components are embarrassingly parallel. Two engines:
   sequential per-doc loop in memory. One Spark job decides EVERY
   component regardless of its chain depth — a 500-link decision chain
   that costs 500 rounds under the frontier engine is a single in-task
-  loop here. Components larger than ``component_cap`` fall back to the
-  frontier engine (they would not fit one task); real dupe families are
-  stars/cliques orders of magnitude below the cap.
+  loop here. Components with more than ``component_cap`` EDGES fall back
+  to the frontier engine (the edge list is what the task materializes, so
+  it would not fit); real dupe families are stars/cliques orders of
+  magnitude below the cap.
 
 * **frontier** (fallback + cross-check): parallel rounds — each round
   decides every doc whose earlier neighbors are all decided. Round count
@@ -67,9 +68,12 @@ def greedy_resolve(
     duplicate mass, a small fraction of the corpus at any scale.
 
     ``engine``: "auto" = per-component pandas with frontier fallback for
-    components over ``component_cap`` rows; "frontier" = parallel rounds
-    only (bounded by ``max_rounds``); "pandas" = per-component only
-    (raises if any component exceeds the cap).
+    components over ``component_cap`` EDGES (the edge list is what the
+    per-component task materializes, so the cap is measured in edges —
+    a dense small-node component is routed to the frontier engine too);
+    "frontier" = parallel rounds only (bounded by ``max_rounds``);
+    "pandas" = per-component only (raises if any component exceeds the
+    cap).
     """
     if engine not in ("auto", "frontier", "pandas"):
         raise ValueError(f"unknown greedy engine {engine!r}")
@@ -126,18 +130,23 @@ def _component_dropped(
     e: DataFrame, max_rounds: int, engine: str, component_cap: int
 ) -> DataFrame | None:
     """Dropped ids via per-component sequential resolution; components over
-    ``component_cap`` go through the frontier engine instead ("auto") or
-    raise ("pandas")."""
+    ``component_cap`` EDGES go through the frontier engine instead ("auto")
+    or raise ("pandas")."""
     from .clustering import connected_components
 
     comp = connected_components(e, distinct_pairs=True)
     tagged = e.join(
         comp.select(F.col("id").alias("a"), F.col("cluster_id").alias("comp")), "a"
     )
-    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("n"))
-    big = sizes.filter(F.col("n") > component_cap).select(
-        F.col("cluster_id").alias("comp")
-    )
+    # cap on EDGES per component, not nodes: the applyInPandas task below
+    # materializes the component's edge list, and under dense edge sets
+    # (brute-force edges at a low threshold) a component far under a node
+    # cap can carry O(nodes²) edges. ``tagged`` is one row per edge, so
+    # this aggregate measures exactly the quantity the task will hold;
+    # edges ≥ nodes−1 in any connected component, so the edge cap also
+    # bounds the node count.
+    sizes = tagged.groupBy("comp").agg(F.count("*").alias("n"))
+    big = sizes.filter(F.col("n") > component_cap).select("comp")
     # the big list is empty in practice (a >cap-member duplicate FAMILY
     # means the corpus is degenerate); broadcast routing either way
     small = tagged.join(F.broadcast(big), "comp", "left_anti")

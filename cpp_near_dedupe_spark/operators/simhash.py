@@ -77,13 +77,16 @@ def simhash_batch(texts, seed: int = 0) -> np.ndarray:
     Batch-global production kernel: ALL documents of the Arrow batch are
     concatenated (0-code separators — non-alphanumeric, so no token can
     span a boundary) and tokenized with ONE run-detection pass; tokens are
-    hashed in one length-grouped XXH64 pass over the whole batch; per-doc
-    DISTINCT term frequencies come from one lexsort over (doc, hash); and
-    the 64 bit votes accumulate into an (m × 64) matrix with a single
-    ``np.add.at``. The per-doc loop above costs dozens of small numpy
-    calls per document — batch-global amortizes them across the batch
-    (~4× measured at the bench shape). Pinned bit-equal to
-    ``simhash_batch_perdoc`` by tests/test_extras.py."""
+    hashed in one length-grouped XXH64 pass over the whole batch. The
+    distinct-then-tf-weight step of the per-doc spec is skipped because it
+    is algebraically redundant (Σ over distinct hashes of tf·(2·bit−1)
+    equals Σ over the raw token stream of (2·bit−1)); the 64 per-doc bit
+    votes come from per-byte ``np.bincount`` histograms times a (256 × 8)
+    bit table — 8 linear passes over the token stream, no sort, no unique,
+    no (n_tok × 64) bit matrix (see the inline comment). The per-doc loop
+    above costs dozens of small numpy calls per document — batch-global
+    amortizes them across the batch (~4× measured at the bench shape).
+    Pinned bit-equal to ``simhash_batch_perdoc`` by tests/test_extras.py."""
     from ..functions.alphanum import ALPHANUM
     from ..functions.xxh64 import xxh64_rows
 

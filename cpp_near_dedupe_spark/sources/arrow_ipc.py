@@ -178,14 +178,30 @@ def write_arrow_ipc(
     their schema-only mirror files from a second distributed map over the
     anti-joined missing-file list — the driver never collects a per-file
     row or writes a file itself (at reference scale the input tree is
-    ~10⁶ files; a driver loop over them would serialize the tail).
+    ~10⁶ files; a driver loop over them would serialize the tail). The
+    relative-path map reaches tasks as a broadcast-joined column on the
+    rows, NOT as a closure-captured python list — a 10⁶-file listing in
+    every task closure would cost tens of MB per task; as a broadcast
+    relation it ships once per executor and each task sees only the paths
+    of the rows it processes.
+
+    Filesystem assumption: ``out_base`` must be a SHARED POSIX filesystem
+    (NFS/Lustre/local) — the commit protocol is atomic same-directory
+    ``os.replace`` from executor tasks, and the driver lists the input
+    tree the executors then open; the reference's writer assumes the same
+    (`DupeResolverThread.h:138-196`). On an object store rename is
+    copy+delete and non-atomic, so a real deployment there should write
+    through a committer (the Iceberg ``CheckpointStore`` seam in
+    plans/pipeline.py) instead of this mirrored-tree format.
 
     Returns the (file_index, path, rows) summary DataFrame — one row per
-    written file, zero-row entries included, already materialized (the
-    write job runs exactly once inside this function; re-consuming the
-    returned summary re-reads the registry-tracked cache, it does not
-    rewrite). Callers typically follow with ``validate_arrow_ipc`` below,
-    the reference's re-read validation pass (`DupeResolverThread.h:399-428`).
+    written file, zero-row entries included, already materialized: the
+    write job runs exactly once inside this function and the summary is
+    ``localCheckpoint(eager=True)``-ed, so re-consuming it later reads
+    the checkpointed blocks — it never re-runs the side-effecting write
+    plan, even after the session cache registry's ``release_all()``.
+    Callers typically follow with ``validate_arrow_ipc`` below, the
+    reference's re-read validation pass (`DupeResolverThread.h:399-428`).
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -201,11 +217,21 @@ def write_arrow_ipc(
     if missing:
         raise KeyError(f"df lacks identity columns {missing} (use read_arrow_ipc)")
     data_cols = [c for c in df.columns if c not in drop_columns]
+    if "__rel" in data_cols:
+        raise KeyError("column name '__rel' is reserved by write_arrow_ipc")
     out = df.select("file_index", "row_number", *data_cols)
     arrow_schema = to_arrow_schema(out.schema)
     data_schema = pa.schema([arrow_schema.field(c) for c in data_cols])
 
     spark = df.sparkSession
+    # the path map rides the rows via a broadcast join (one copy per
+    # executor), never the task closure (one copy per task)
+    paths_df = spark.createDataFrame(
+        list(enumerate(rel_paths)), "file_index long, __rel string"
+    )
+    out = out.join(F.broadcast(paths_df), "file_index").select(
+        "file_index", "row_number", "__rel", *data_cols
+    )
     n_parts = min(len(files), 4 * spark.sparkContext.defaultParallelism)
     out = out.repartition(n_parts, "file_index").sortWithinPartitions(
         "file_index", "row_number"
@@ -237,10 +263,10 @@ def write_arrow_ipc(
                 results.append((cur_fi, final, rows))
                 writer, sink, rows = None, None, 0
 
-        def open_for(fi: int):
+        def open_for(fi: int, rel: str):
             nonlocal cur_fi, writer, sink, tmp, final
             cur_fi = fi
-            final = os.path.join(out_base, rel_paths[fi])
+            final = os.path.join(out_base, rel)
             os.makedirs(os.path.dirname(final), exist_ok=True)
             tmp = f"{final}.inprogress-{suffix}"
             sink = pa.OSFile(tmp, "wb")
@@ -248,6 +274,7 @@ def write_arrow_ipc(
 
         for b in batches:
             fi_arr = b.column("file_index").to_numpy(zero_copy_only=False)
+            rel_arr = b.column("__rel")
             data = pa.RecordBatch.from_arrays(
                 [b.column(c) for c in data_cols], schema=data_schema
             )
@@ -258,7 +285,7 @@ def write_arrow_ipc(
                     fi = int(fi_arr[start])
                     if fi != cur_fi:
                         close_current()
-                        open_for(fi)
+                        open_for(fi, rel_arr[start].as_py())
                     chunk = data.slice(start, i - start)
                     writer.write_batch(chunk)
                     rows += chunk.num_rows
@@ -274,14 +301,15 @@ def write_arrow_ipc(
                 names=["file_index", "path", "rows"],
             )
 
-    from ..cache import track
-
-    summary = track(
-        out.mapInArrow(write, schema="file_index long, path string, rows long")
-    )
-    # materialize the write job exactly ONCE (count is distributed — no
-    # per-file row ever reaches the driver); later consumers read the cache
-    summary.count()
+    # localCheckpoint(eager=True) materializes the side-effecting write job
+    # exactly ONCE and truncates the lineage: every later consumer reads
+    # the checkpointed blocks, so the summary stays decoupled from the
+    # write plan even after cache.release_all() (a registry-tracked persist
+    # would re-run the writes once released). The checkpointed relation is
+    # one row per written file — broadcast-sized by construction.
+    summary = out.mapInArrow(
+        write, schema="file_index long, path string, rows long"
+    ).localCheckpoint(eager=True)
 
     if write_empty_files:
         # inputs with zero survivors: schema-only mirror files, found by
@@ -320,12 +348,9 @@ def write_arrow_ipc(
                     names=["file_index", "path", "rows"],
                 )
 
-        empties = track(
-            missing.mapInArrow(
-                write_empty, schema="file_index long, path string, rows long"
-            )
-        )
-        empties.count()  # one-shot distributed creation of the empty tail
+        empties = missing.mapInArrow(
+            write_empty, schema="file_index long, path string, rows long"
+        ).localCheckpoint(eager=True)  # one-shot distributed empty tail
         summary = summary.unionByName(empties)
     return summary
 

@@ -41,7 +41,18 @@ from ..operators.resolve import resolve_clusters
 
 
 class SignatureState:
-    """Durable retained-unique store: signatures + exploded bands."""
+    """Durable retained-unique store: signatures + exploded bands.
+
+    Filesystem assumption: the state root must be a SHARED POSIX
+    filesystem (NFS/Lustre/local in tests) — compaction and crash
+    recovery rely on atomic same-directory ``os.rename`` and on the
+    driver seeing the files executors wrote, the same assumption the
+    reference's output writer makes (`DupeResolverThread.h:138-196`).
+    On an object store (S3/GCS) rename is copy+delete and not atomic;
+    the intended deployment there is the Iceberg-backed
+    ``CheckpointStore`` seam (plans/pipeline.py) where the table commit
+    protocol replaces the rename dance and ``compact`` maps to
+    ``rewrite_data_files``."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -87,7 +98,14 @@ class SignatureState:
         caller raises ``RuntimeError`` immediately (maintenance jobs
         should serialize, not queue). A lock left behind by a crashed
         compact is broken after ``lock_timeout_sec`` (the dead process
-        cannot refresh its mtime)."""
+        cannot refresh its mtime); the break itself is atomic — the stale
+        lock is renamed to a caller-unique name first, so of two waiters
+        observing the same stale lock exactly one wins the rename and
+        breaks it, the other sees FileNotFoundError and retries O_EXCL
+        against whatever lock the winner creates. A LIVE holder refreshes
+        the lock mtime after each long Spark rewrite (once per state dir),
+        so ``lock_timeout_sec`` bounds a single directory rewrite, not the
+        whole compact — a legitimately slow compact is not broken mid-run."""
         import shutil
 
         self._acquire_lock()
@@ -103,6 +121,7 @@ class SignatureState:
                     2, self.spark.sparkContext.defaultParallelism
                 )
                 df.repartition(n).write.mode("overwrite").parquet(tmp)
+                self._refresh_lock()  # still alive: the rewrite was the slow part
                 os.rename(path, old)
                 os.rename(tmp, path)  # crash before this line -> _recover undoes
                 shutil.rmtree(old)
@@ -118,6 +137,7 @@ class SignatureState:
 
     def _acquire_lock(self) -> None:
         import time
+        import uuid
 
         lock = self._lock_path
         try:
@@ -125,7 +145,16 @@ class SignatureState:
                 os.path.exists(lock)
                 and time.time() - os.path.getmtime(lock) > self.lock_timeout_sec
             ):
-                os.unlink(lock)  # holder died long ago; break the lock
+                # Atomic stale-break: rename-then-unlink. Of two waiters
+                # that both observed the stale mtime, exactly one rename
+                # succeeds (rename of an already-moved file raises); the
+                # loser falls through to O_EXCL and collides with whatever
+                # lock the winner creates next. A plain unlink here would
+                # let the second waiter delete the FIRST waiter's freshly
+                # created lock (the TOCTOU the advisor flagged).
+                grave = f"{lock}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                os.rename(lock, grave)
+                os.unlink(grave)
         except FileNotFoundError:
             pass
         try:
@@ -138,6 +167,15 @@ class SignatureState:
             )
         with os.fdopen(fd, "w") as f:
             f.write(str(os.getpid()))
+
+    def _refresh_lock(self) -> None:
+        """Holder heartbeat: bump the lock mtime so a compact whose SINGLE
+        slow step stays under ``lock_timeout_sec`` is never stale-broken
+        mid-run even when the whole compact takes longer."""
+        try:
+            os.utime(self._lock_path)
+        except FileNotFoundError:
+            pass  # lock was force-removed; the renames still race-protect via _recover
 
     def _release_lock(self) -> None:
         try:

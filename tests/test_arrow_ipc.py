@@ -200,11 +200,35 @@ def test_write_many_files_distributed_empty_tail(spark, tmp_path):
     assert not [f for f in os.listdir(out) if ".inprogress" in f]
     n_kept = survivors.count()
     assert validate_arrow_ipc(spark, out, n_kept) == n_kept
-    # consuming the summary again must NOT rewrite (mtimes stable)
+    # consuming the summary again must NOT rewrite (mtimes stable) — even
+    # after the cache-lifecycle release (r5/ADVICE: the summary is
+    # localCheckpoint-ed, not registry-persisted, so release_all cannot
+    # re-expose the side-effecting write plan)
+    from cpp_near_dedupe_spark.cache import release_all
+
     mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
     summary.count()
-    import time as _time
-
+    release_all()
+    summary.count()
     assert mtimes == {
         f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
     }
+
+
+def test_write_task_closures_exclude_path_listing():
+    """r5 (VERDICT #6): the per-task write closure must NOT capture the
+    full rel_paths listing (tens of MB per task at a 10⁶-file tree) — the
+    path map rides the rows via a broadcast join instead. Pinned at the
+    bytecode level: no nested code object of write_arrow_ipc closes over
+    ``rel_paths``."""
+    import types
+
+    def nested_code(code):
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                yield c
+                yield from nested_code(c)
+
+    for code in nested_code(write_arrow_ipc.__code__):
+        if code.co_name in ("write", "write_empty", "open_for", "close_current"):
+            assert "rel_paths" not in code.co_freevars, code.co_name

@@ -340,6 +340,40 @@ def test_auto_falls_back_to_frontier_for_big_components(spark):
     assert out == expect
 
 
+def test_component_cap_counts_edges_not_nodes(spark):
+    """r5 (VERDICT #3): the cap bounds the per-task EDGE list. A clique on
+    8 nodes carries 28 edges — under a node-count reading of cap=20 it
+    would stay on the pandas path, but the task materializes 28 edge rows,
+    so it must route to the frontier engine. The pandas engine (which
+    raises on over-cap) proves the routing; auto must still match the
+    python oracle through the fallback."""
+    import pytest as _pytest
+
+    from cpp_near_dedupe_spark.operators.greedy import greedy_decide_py
+
+    clique = [(i, j) for i in range(8) for j in range(i + 1, 8)]  # 28 edges
+    ids = list(range(8))
+    with _pytest.raises(ValueError, match="component_cap"):
+        greedy_resolve(
+            _ids_df(spark, ids),
+            _edges_df(spark, clique),
+            CFG,
+            engine="pandas",
+            component_cap=20,
+        ).collect()
+    out = {
+        r.doc_id: r.is_kept
+        for r in greedy_resolve(
+            _ids_df(spark, ids),
+            _edges_df(spark, clique),
+            CFG,
+            engine="auto",
+            component_cap=20,
+        ).collect()
+    }
+    assert out == greedy_decide_py(clique, ids)
+
+
 def test_compact_lock_single_writer(spark, tmp_path):
     """r4 (VERDICT #7): compaction is single-writer — a concurrent compact
     raises instead of racing the renames; a crashed holder's stale lock is
