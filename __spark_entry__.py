@@ -371,6 +371,46 @@ def _q_incremental_dedupe(spark, sf_dir):
     return kept2.select("doc_id")
 
 
+def _q_incremental_sql_dedupe(spark, sf_dir):
+    """Incremental dedupe, driver-HASH-verified (r5, VERDICT r4 #4): the
+    same batch-sequential machinery as ``incremental_dedupe`` —
+    streaming/incremental.py dedupe_increment, same SignatureState store,
+    same candidate join and batch ordering — run under the SQL-expressible
+    md5 hash family (family="sql"), so a DuckDB oracle can replay the
+    exact semantics: batch 1 (doc_id < n/2) is deduped within itself
+    (CC keep-min) and its survivors seed the state; batch 2 is deduped
+    within itself, then its survivors are dropped iff they share a band
+    with a retained state doc and score jaccard ≥ threshold. Returns the
+    second batch's kept ids. Pair topology is all_pairs for the same
+    reason run_sql_pipeline forces it (the oracle's cand CTEs define the
+    candidate set as all band-colliding pairs)."""
+    import dataclasses
+    import hashlib
+    import shutil
+
+    from cpp_near_dedupe_spark.streaming.incremental import (
+        SignatureState,
+        dedupe_increment,
+    )
+
+    cfg = dataclasses.replace(CFG, pair_topology="all_pairs")
+    state_dir = "/tmp/spark_graft_incr_sql_state_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    docs = _docs(spark, sf_dir)
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    first = docs.filter(F.col("doc_id") < n // 2)
+    second = docs.filter(F.col("doc_id") >= n // 2)
+    state = SignatureState(spark, state_dir)
+    dedupe_increment(spark, first, state, cfg, family="sql")
+    kept2 = dedupe_increment(spark, second, state, cfg, family="sql")
+    return kept2.select("doc_id")
+
+
 def _q_sqlmode(stop_after, project):
     """Factory for the SQL-expressible LSH chain queries (plans/sql_mode.py):
     same topology as the parity chain, md5 hash family, full DuckDB oracle."""
@@ -715,6 +755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_ipc_roundtrip": _q_arrow_ipc_roundtrip,
         "minhash_perm_signatures": _q_minhash_perm_signatures,
         "incremental_dedupe": _q_incremental_dedupe,
+        # same incremental machinery under the md5 family -> full DuckDB
+        # oracle replaying the batch-sequential pass (r5, VERDICT r4 #4)
+        "incremental_sql_dedupe": _q_incremental_sql_dedupe,
         "lsh_greedy_kept": _q_lsh_greedy_kept,
         # rows-only: scores XXH64-parity sketches (not SQL-expressible);
         # its value is the LSH ⊆ brute-force containment property test
@@ -957,6 +1000,78 @@ _CHAIN_PAIRS_ORACLE = f"""
 """
 
 
+def _incremental_oracle() -> str:
+    """DuckDB replay of the incremental batch-sequential pass (r5): the
+    corpus splits at h = count/2; batch 1 is deduped within itself
+    (band-colliding pairs → jaccard ≥ 0.7 → recursive-CTE CC → keep-min)
+    and its SURVIVORS form the retained state; batch 2 is deduped within
+    itself the same way, then a batch-2 survivor is dropped iff it shares
+    a (band_id, band_key) with a retained batch-1 doc and scores
+    jaccard ≥ 0.7 against it — exactly dedupe_increment's default path
+    (streaming/incremental.py), stage for stage. Two independent
+    recursive CCs (reach1/reach2) mirror the two within-batch
+    connected-components calls; sketches are batch-independent, so one
+    global sigs/bands prefix serves every stage."""
+    prefix = _sqlmode_cte().split("cand AS")[0].rstrip().rstrip(",")
+    jac = (
+        "round(len(list_intersect(sa.sig, sb.sig)) * 1.0 / "
+        "(len(sa.sig) + len(sb.sig) - len(list_intersect(sa.sig, sb.sig))), 6)"
+    )
+
+    def batch_cc(tag: str, pred: str) -> str:
+        return f"""
+    cand{tag} AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+      WHERE {pred}),
+    edges{tag} AS (
+      SELECT p.a, p.b, {jac} AS jaccard
+      FROM cand{tag} p
+      JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b),
+    dup{tag} AS (SELECT a, b FROM edges{tag} WHERE jaccard >= 0.7),
+    sym{tag} AS (
+      SELECT a, b FROM dup{tag} UNION SELECT b AS a, a AS b FROM dup{tag}),
+    reach{tag}(node, r) AS (
+      SELECT a AS node, a AS r FROM sym{tag}
+      UNION
+      SELECT e.b AS node, reach{tag}.r
+      FROM reach{tag} JOIN sym{tag} e ON e.a = reach{tag}.node),
+    comp{tag} AS (
+      SELECT node, min(r) AS cluster_id FROM reach{tag} GROUP BY node)"""
+
+    return f"""
+    WITH RECURSIVE {prefix},
+    half AS (SELECT count(*) // 2 AS h FROM documents),
+    {batch_cc("1", "r.doc_id < (SELECT h FROM half)")},
+    kept1 AS (
+      SELECT d.doc_id
+      FROM documents d LEFT JOIN comp1 c ON c.node = d.doc_id
+      WHERE d.doc_id < (SELECT h FROM half)
+        AND coalesce(c.cluster_id, d.doc_id) = d.doc_id),
+    {batch_cc("2", "l.doc_id >= (SELECT h FROM half)")},
+    kept2a AS (
+      SELECT d.doc_id
+      FROM documents d LEFT JOIN comp2 c ON c.node = d.doc_id
+      WHERE d.doc_id >= (SELECT h FROM half)
+        AND coalesce(c.cluster_id, d.doc_id) = d.doc_id),
+    candx AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l
+      JOIN kept2a k2 ON k2.doc_id = l.doc_id
+      JOIN bands r ON r.band_id = l.band_id AND r.band_key = l.band_key
+      JOIN kept1 k1 ON k1.doc_id = r.doc_id
+      WHERE l.doc_id != r.doc_id),
+    edgesx AS (
+      SELECT p.a, p.b, {jac} AS jaccard
+      FROM candx p
+      JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b),
+    dropx AS (SELECT DISTINCT a FROM edgesx WHERE jaccard >= 0.7)
+    SELECT k.doc_id FROM kept2a k
+    WHERE k.doc_id NOT IN (SELECT a FROM dropx)
+    """
+
+
 def _minhash_perm_oracle() -> str:
     from cpp_near_dedupe_spark.operators.minhash_perm import MERSENNE_P, perm_params
 
@@ -984,6 +1099,7 @@ def _minhash_perm_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "minhash_perm_signatures": _minhash_perm_oracle(),
+        "incremental_sql_dedupe": _incremental_oracle(),
         "lsh_sql_signatures": f"""
             WITH RECURSIVE {_SQLMODE_CTE}
             SELECT doc_id, len(sig)::BIGINT AS sig_len,

@@ -40,6 +40,27 @@ from ..operators.clustering import connected_components
 from ..operators.resolve import resolve_clusters
 
 
+def _family_fns(family: str):
+    """(sketch, bands, score) function triple for a hash family.
+
+    ``parity`` is the production family (XXH64 over the reference
+    tokenizer's UTF-16 bytes — bit-equal to the reference, not
+    SQL-expressible). ``sql`` is the md5 family of plans/sql_mode.py:
+    identical pipeline topology over hashes BOTH Spark and DuckDB compute,
+    which is what lets the driver hash-verify the incremental semantics
+    end-to-end (the ``incremental_sql_dedupe`` oracle replays the same
+    batch-sequential pass in SQL). Everything downstream of the triple —
+    candidate join, state store, batch ordering — is the SAME code either
+    way, so a green sql-family row verifies the shared machinery."""
+    if family == "parity":
+        return sketch_documents, explode_bands, score_pairs
+    if family == "sql":
+        from ..plans.sql_mode import sql_bands, sql_score_pairs, sql_sketch
+
+        return sql_sketch, sql_bands, sql_score_pairs
+    raise ValueError(f"unknown hash family {family!r} (use 'parity' or 'sql')")
+
+
 class SignatureState:
     """Durable retained-unique store: signatures + exploded bands.
 
@@ -203,6 +224,7 @@ def dedupe_increment(
     state: SignatureState,
     cfg: DedupeConfig,
     strict_order: bool = False,
+    family: str = "parity",
 ) -> DataFrame:
     """Process one batch; returns the surviving (kept) docs with full
     schema, and appends their signatures to the state.
@@ -224,18 +246,19 @@ def dedupe_increment(
     reference keeps Y (its only match X was never retained) — pinned in
     tests/test_greedy.py."""
     id_col = cfg.id_col
+    sketch_fn, bands_fn, score_fn = _family_fns(family)
 
-    sigs_new = sketch_documents(new_docs, cfg)
-    bands_new = explode_bands(sigs_new, cfg)
+    sigs_new = sketch_fn(new_docs, cfg)
+    bands_new = bands_fn(sigs_new, cfg)
 
     if strict_order:
         return _dedupe_increment_strict(
-            spark, new_docs, sigs_new, bands_new, state, cfg
+            spark, new_docs, sigs_new, bands_new, state, cfg, score_fn
         )
 
     # 1. dedupe the batch against itself (full pipeline semantics)
     pairs_in = candidate_pairs(bands_new, cfg)
-    edges_in = score_pairs(pairs_in, sigs_new, cfg).filter(
+    edges_in = score_fn(pairs_in, sigs_new, cfg).filter(
         F.col("jaccard") >= F.lit(cfg.threshold)
     )
     clusters = connected_components(
@@ -269,7 +292,7 @@ def dedupe_increment(
             .distinct()
         )
         all_sigs = sigs_kept.unionByName(state.signatures().select(sigs_kept.columns))
-        matches = score_pairs(cand, all_sigs, cfg).filter(
+        matches = score_fn(cand, all_sigs, cfg).filter(
             F.col("jaccard") >= F.lit(cfg.threshold)
         )
         dup_ids = matches.select(F.col("a").alias(id_col)).distinct()
@@ -291,6 +314,7 @@ def _dedupe_increment_strict(
     bands_new: DataFrame,
     state: SignatureState,
     cfg: DedupeConfig,
+    score_fn=score_pairs,
 ) -> DataFrame:
     """strict_order=True body: state-match first, then arrival-order greedy
     over the remaining docs (see dedupe_increment docstring for the proof
@@ -316,7 +340,7 @@ def _dedupe_increment_strict(
         all_sigs = sigs_new.unionByName(
             state.signatures().select(sigs_new.columns)
         )
-        matches = score_pairs(cand, all_sigs, cfg).filter(
+        matches = score_fn(cand, all_sigs, cfg).filter(
             F.col("jaccard") >= F.lit(cfg.threshold)
         )
         state_dropped = matches.select(F.col("a").alias(id_col)).distinct()
@@ -325,7 +349,7 @@ def _dedupe_increment_strict(
     live_ids = live_docs.select(id_col)
     bands_live = bands_new.join(live_ids, id_col, "left_semi")
     pairs_in = candidate_pairs(bands_live, cfg)
-    edges_in = score_pairs(pairs_in, sigs_new, cfg).filter(
+    edges_in = score_fn(pairs_in, sigs_new, cfg).filter(
         F.col("jaccard") >= F.lit(cfg.threshold)
     )
     out = greedy_resolve(live_docs.select(id_col), edges_in.select("a", "b"), cfg)

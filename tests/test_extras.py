@@ -148,6 +148,38 @@ def test_incremental_matches_reference_semantics(spark, tmp_path):
     assert state.signatures().count() == 3
 
 
+def test_incremental_sql_family_same_semantics(spark, tmp_path):
+    """r5: dedupe_increment(family='sql') runs the SAME machinery under
+    the md5 hash family (the driver-oracle-checkable mode,
+    incremental_sql_dedupe). Near-identical texts must behave like the
+    parity family: within-batch dupe dropped, cross-batch dupe of a
+    RETAINED doc dropped, dupe of a DROPPED doc kept."""
+    import dataclasses
+
+    from cpp_near_dedupe_spark.streaming.incremental import (
+        SignatureState,
+        dedupe_increment,
+    )
+
+    cfg = dataclasses.replace(CFG, pair_topology="all_pairs")
+    base = " ".join(f"w{i % 101}" for i in range(400))
+    other = " ".join(f"q{i % 91}" for i in range(400))
+    state = SignatureState(spark, str(tmp_path / "state_sql"))
+
+    b1 = _mk_docs(spark, [(1, base), (2, base), (3, other)])
+    kept1 = dedupe_increment(spark, b1, state, cfg, family="sql")
+    assert {r.doc_id for r in kept1.collect()} == {1, 3}
+
+    new = " ".join(f"z{i % 83}" for i in range(400))
+    b2 = _mk_docs(spark, [(10, base), (11, new)])
+    kept2 = dedupe_increment(spark, b2, state, cfg, family="sql")
+    assert {r.doc_id for r in kept2.collect()} == {11}
+    assert state.signatures().count() == 3
+    # md5-family sketches are hex strings (the oracle-computable family)
+    row = state.signatures().limit(1).collect()[0]
+    assert isinstance(row.signature[0], str)
+
+
 def test_stream_dedupe_available_now(spark, tmp_path):
     from cpp_near_dedupe_spark.streaming.incremental import stream_dedupe
 
