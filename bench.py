@@ -74,14 +74,26 @@ def main() -> int:
     ]
     from cpp_near_dedupe_spark.cache import release_all
 
+    # best-of-N warm reps per query (r5, VERDICT r4 #5): this VM's
+    # documented run-to-run noise (±20-25%) exceeds most per-query deltas,
+    # so single-shot timings round-trip as phantom regressions between
+    # rounds. Each rep rebuilds the query plan from scratch and releases
+    # its caches, so reps are independent; min-of-N is the standard
+    # noise-floor estimator (same discipline BENCH/BASELINE.md's scaling
+    # runs already use).
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # cache-lifecycle contract: a query's tracked persists die with it
-        release_all()
+        best = float("inf")
+        for _ in range(n_reps):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            # cache-lifecycle contract: a query's tracked persists die
+            # with it (also keeps reps independent)
+            release_all()
+        timings[name] = round(best, 3)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     total = round(sum(timings.values()), 3)
@@ -96,6 +108,7 @@ def main() -> int:
         "docs": n_docs,
         "pipeline_docs_per_sec": round(n_docs / max(timings["lsh_clusters"], 1e-9), 1),
         "cpus": int(cpus),
+        "reps": n_reps,  # timings are best-of-reps (min), per query
     }
     print(json.dumps(result))
     spark.stop()
