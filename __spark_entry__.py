@@ -411,6 +411,48 @@ def _q_incremental_sql_dedupe(spark, sf_dir):
     return kept2.select("doc_id")
 
 
+def _q_incremental_sql_strict(spark, sf_dir):
+    """Strict-order incremental mode, driver-HASH-verified (r5): the
+    reference's exact per-doc pass at batch granularity
+    (streaming/incremental.py _dedupe_increment_strict) under the md5
+    family — batch 2 docs matching RETAINED state are dropped FIRST
+    (they can never be retained, so they also cannot drop anyone), then
+    arrival-order greedy runs over the within-batch edges of the
+    remainder. Runs over the chained corpus (_chain_docs) so greedy
+    provably diverges from CC within the batch AND copies of batch-1
+    survivors are provably state-dropped — a green hash pins the strict
+    ordering semantics specifically. The oracle replays both greedy
+    passes with the round-capped single-row list-state recursive CTE the
+    lsh_sql_greedy_kept oracle introduced."""
+    import dataclasses
+    import hashlib
+    import shutil
+
+    from cpp_near_dedupe_spark.streaming.incremental import (
+        SignatureState,
+        dedupe_increment,
+    )
+
+    cfg = dataclasses.replace(CFG, pair_topology="all_pairs")
+    state_dir = "/tmp/spark_graft_incr_sqlstrict_state_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    docs = _chain_docs(spark, sf_dir)
+    import pyarrow.parquet as pq
+
+    # split at half the BASE table count (the chain copies' offset ids all
+    # land in batch 2) — mirrored by the oracle's half CTE over documents
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    first = docs.filter(F.col("doc_id") < n // 2)
+    second = docs.filter(F.col("doc_id") >= n // 2)
+    state = SignatureState(spark, state_dir)
+    dedupe_increment(spark, first, state, cfg, strict_order=True, family="sql")
+    kept2 = dedupe_increment(spark, second, state, cfg, strict_order=True, family="sql")
+    return kept2.select("doc_id")
+
+
 def _q_sqlmode(stop_after, project):
     """Factory for the SQL-expressible LSH chain queries (plans/sql_mode.py):
     same topology as the parity chain, md5 hash family, full DuckDB oracle."""
@@ -758,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same incremental machinery under the md5 family -> full DuckDB
         # oracle replaying the batch-sequential pass (r5, VERDICT r4 #4)
         "incremental_sql_dedupe": _q_incremental_sql_dedupe,
+        "incremental_sql_strict": _q_incremental_sql_strict,
         "lsh_greedy_kept": _q_lsh_greedy_kept,
         # rows-only: scores XXH64-parity sketches (not SQL-expressible);
         # its value is the LSH ⊆ brute-force containment property test
@@ -1072,6 +1115,105 @@ def _incremental_oracle() -> str:
     """
 
 
+def _greedy_st_cte(tag: str, dup: str, nodes: str) -> str:
+    """Round-capped single-row list-state greedy CTE (the _GREEDY_ORACLE
+    construction, parameterized): one frontier round per iteration over
+    the ``dup`` edge set; docs whose earlier neighbors are all decided
+    become decided; kept iff no earlier KEPT neighbor. Single-row state →
+    the recursive term references the CTE exactly once (DuckDB 1.0
+    compatible)."""
+    return f"""
+    st{tag}(r, kept, dec) AS (
+      SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT r + 1,
+        kept || coalesce((SELECT list(n.id) FROM {nodes} n
+           WHERE NOT list_contains(st{tag}.dec, n.id)
+             AND NOT EXISTS (SELECT 1 FROM {dup} e
+                             WHERE e.b = n.id AND NOT list_contains(st{tag}.dec, e.a))
+             AND NOT EXISTS (SELECT 1 FROM {dup} e
+                             WHERE e.b = n.id AND list_contains(st{tag}.kept, e.a))), []),
+        dec || coalesce((SELECT list(n.id) FROM {nodes} n
+           WHERE NOT list_contains(st{tag}.dec, n.id)
+             AND NOT EXISTS (SELECT 1 FROM {dup} e
+                             WHERE e.b = n.id AND NOT list_contains(st{tag}.dec, e.a))), [])
+      FROM st{tag}
+      WHERE r < 64 AND len(dec) < (SELECT count(*) FROM {nodes} )),
+    fin{tag} AS (SELECT kept, dec FROM st{tag} ORDER BY r DESC LIMIT 1)"""
+
+
+def _incremental_strict_oracle() -> str:
+    """DuckDB replay of the STRICT-order incremental pass over the chained
+    corpus (r5): batch 1 (doc_id < h over the base table; all chain-copy
+    offset ids land in batch 2) runs arrival-order greedy over its
+    within-batch dup edges and its kept set seeds the state; batch 2
+    drops every doc matching a retained batch-1 doc FIRST (band-colliding
+    + jaccard ≥ 0.7 — they can never be retained, so they also cannot
+    drop anyone: _dedupe_increment_strict's factoring), then arrival-
+    order greedy runs over the within-batch edges of the REMAINDER.
+    Two independent list-state greedy CTEs (st1/st2) replay the two
+    passes."""
+    prefix = _sqlmode_cte("documents_chain").split("cand AS")[0].rstrip().rstrip(",")
+    jac = (
+        "round(len(list_intersect(sa.sig, sb.sig)) * 1.0 / "
+        "(len(sa.sig) + len(sb.sig) - len(list_intersect(sa.sig, sb.sig))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE {_CHAIN_CTE},
+    {prefix},
+    half AS (SELECT count(*) // 2 AS h FROM documents),
+    cand1 AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+      WHERE r.doc_id < (SELECT h FROM half)),
+    edges1 AS (
+      SELECT p.a, p.b, {jac} AS jaccard
+      FROM cand1 p
+      JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b),
+    dup1 AS (SELECT a, b FROM edges1 WHERE jaccard >= 0.7),
+    nodes1 AS (SELECT a AS id FROM dup1 UNION SELECT b AS id FROM dup1),
+    {_greedy_st_cte("1", "dup1", "nodes1")},
+    kept1 AS (
+      SELECT d.doc_id
+      FROM documents_chain d, fin1 f
+      WHERE d.doc_id < (SELECT h FROM half)
+        AND (NOT list_contains(f.dec, d.doc_id)
+             OR list_contains(f.kept, d.doc_id))),
+    candx AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l
+      JOIN bands r ON r.band_id = l.band_id AND r.band_key = l.band_key
+      JOIN kept1 k1 ON k1.doc_id = r.doc_id
+      WHERE l.doc_id >= (SELECT h FROM half) AND l.doc_id != r.doc_id),
+    edgesx AS (
+      SELECT p.a, p.b, {jac} AS jaccard
+      FROM candx p
+      JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b),
+    dropx AS (SELECT DISTINCT a FROM edgesx WHERE jaccard >= 0.7),
+    live2 AS (
+      SELECT doc_id FROM documents_chain
+      WHERE doc_id >= (SELECT h FROM half)
+        AND doc_id NOT IN (SELECT a FROM dropx)),
+    cand2 AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+      JOIN live2 x ON x.doc_id = l.doc_id
+      JOIN live2 y ON y.doc_id = r.doc_id),
+    edges2 AS (
+      SELECT p.a, p.b, {jac} AS jaccard
+      FROM cand2 p
+      JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b),
+    dup2 AS (SELECT a, b FROM edges2 WHERE jaccard >= 0.7),
+    nodes2 AS (SELECT a AS id FROM dup2 UNION SELECT b AS id FROM dup2),
+    {_greedy_st_cte("2", "dup2", "nodes2")}
+    SELECT d.doc_id
+    FROM live2 d, fin2 f
+    WHERE NOT list_contains(f.dec, d.doc_id) OR list_contains(f.kept, d.doc_id)
+    """
+
+
 def _minhash_perm_oracle() -> str:
     from cpp_near_dedupe_spark.operators.minhash_perm import MERSENNE_P, perm_params
 
@@ -1100,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_perm_signatures": _minhash_perm_oracle(),
         "incremental_sql_dedupe": _incremental_oracle(),
+        "incremental_sql_strict": _incremental_strict_oracle(),
         "lsh_sql_signatures": f"""
             WITH RECURSIVE {_SQLMODE_CTE}
             SELECT doc_id, len(sig)::BIGINT AS sig_len,
