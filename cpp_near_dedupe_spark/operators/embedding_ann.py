@@ -377,7 +377,18 @@ def ivf_topk(
     vectors whose list (nearest centroid) is among the query's ``nprobe``
     nearest centroids. Candidates per query ≈ nprobe/n_centroids of the
     corpus on balanced lists; the probe itself is a broadcast equi-join on
-    centroid_id, so the embedding column is never shuffled."""
+    centroid_id, so the embedding column is never shuffled.
+
+    Skew note: list sizes are data-adaptive — k-means splits dense regions
+    into multiple centroids, so real embedding corpora give roughly
+    balanced lists (unlike oblivious hyperplane buckets, where one
+    boilerplate pattern can swallow the corpus — which is why ``lsh_topk``
+    carries a per-bucket probe cap). A pathological corpus where most
+    vectors are IDENTICAL still collapses onto one list; capping that
+    list would directly cost recall with no multi-table redundancy to
+    recover it (IVF probes each vector exactly once), so the honest
+    answer there is "use lsh_topk", not a silent cap. The two-phase
+    rescore tail keeps the per-task bound regardless."""
     cent = ivf_centroids(
         embeddings, n_centroids, n_iters, sample_cap, seed, id_col, vec_col
     )

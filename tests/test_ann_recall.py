@@ -234,7 +234,10 @@ def test_ivf_sample_unbiased_by_id_order(spark):
     distinct clusters; sample_cap=600 < corpus. A lowest-id-prefix sample
     would train every centroid on the blob (max centroid·cluster cosine
     ≈ random ≈ 0.3 in 16 dims); the hash-ordered sample sees ~half of
-    each population, so every high-id cluster mean is near a centroid."""
+    each population, so every high-id cluster mean is near a centroid.
+    16 centroids over 5 populations so random init cannot merge two
+    clusters into one centroid (measured: 8 centroids merge two of them
+    at seed 7 — a k-means-init artifact, not a sample-bias one)."""
     from cpp_near_dedupe_spark.operators.embedding_ann import ivf_centroids
 
     rng = np.random.default_rng(7)
@@ -255,7 +258,7 @@ def test_ivf_sample_unbiased_by_id_order(spark):
             )
             vid += 1
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    cb = ivf_centroids(emb, n_centroids=8, n_iters=10, sample_cap=600)
+    cb = ivf_centroids(emb, n_centroids=16, n_iters=10, sample_cap=600)
     for c in range(4):
         assert (cb @ cents[c]).max() >= 0.9, f"high-id cluster {c} not covered"
 
