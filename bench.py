@@ -71,6 +71,12 @@ def main() -> int:
         "lsh_greedy_kept",           # pipeline edges + strict-order greedy
         "bpe_token_stats",
         "embedding_dupe_pairs_lsh",
+        # r5: the oracle-checked incremental mode joins the headline (each
+        # rep rebuilds its scratch state dir — self-contained per rep).
+        # incremental_sql_strict stays out: at 33 s/rep it would dominate
+        # the headline while its two moving parts are already tracked
+        # (greedy via lsh_greedy_kept, the incremental machinery here).
+        "incremental_sql_dedupe",
     ]
     from cpp_near_dedupe_spark.cache import release_all
 
