@@ -245,11 +245,20 @@ def dedupe_increment(
     drops both (Y loses to X within-batch, X loses to state) while the
     reference keeps Y (its only match X was never retained) — pinned in
     tests/test_greedy.py."""
+    from ..cache import track
+
     id_col = cfg.id_col
     sketch_fn, bands_fn, score_fn = _family_fns(family)
 
-    sigs_new = sketch_fn(new_docs, cfg)
-    bands_new = bands_fn(sigs_new, cfg)
+    # multi-consumer intermediates: the signatures feed the within-batch
+    # scoring, the state scoring, and the state append; the bands feed
+    # candidate generation (itself a multi-pass consumer), the state
+    # candidate join, and the append. Unpersisted, each consumer re-runs
+    # the full sketch of the batch — 3-4 extra corpus passes per epoch at
+    # any scale. Registered with the session cache registry; the caller
+    # releases after materializing the batch (cache.py contract).
+    sigs_new = track(sketch_fn(new_docs, cfg))
+    bands_new = track(bands_fn(sigs_new, cfg))
 
     if strict_order:
         return _dedupe_increment_strict(
