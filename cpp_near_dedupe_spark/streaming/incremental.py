@@ -387,8 +387,14 @@ def stream_dedupe(
     state = SignatureState(spark, state_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..cache import release_all
+
         kept = dedupe_increment(spark, batch_df, state, cfg, strict_order=strict_order)
         kept.write.mode("append").parquet(output_dir)
+        # the epoch's tracked sketch/band persists die with the epoch — a
+        # long-running stream must not accumulate one cached RDD pair per
+        # micro-batch (cache.py contract: the materializing caller releases)
+        release_all()
 
     return (
         source.writeStream.foreachBatch(process)
