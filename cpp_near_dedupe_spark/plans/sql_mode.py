@@ -161,7 +161,10 @@ def run_sql_pipeline(
     sigs = track(sql_sketch(docs, cfg))
     if stop_after == "signatures":
         return SqlPipelineResult(sigs, None, None, None, None)
-    bands = sql_bands(sigs, cfg)
+    # bands has 2-3 consumers under all_pairs (the capped+star stats pass
+    # plus the cold/hot branches) — same persistence rationale as the
+    # parity pipeline (plans/pipeline.py multi_consumer set)
+    bands = track(sql_bands(sigs, cfg))
     if stop_after == "bands":
         return SqlPipelineResult(sigs, bands, None, None, None)
     pairs = candidate_pairs(bands, cfg)
