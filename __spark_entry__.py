@@ -21,6 +21,7 @@ DuckDB returns BIGINT; floats rounded identically on both sides).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -353,7 +354,7 @@ def _q_incremental_dedupe(spark, sf_dir):
         dedupe_increment,
     )
 
-    state_dir = "/tmp/spark_graft_incr_state_" + hashlib.md5(
+    state_dir = "/tmp/spark_graft_incr_state_" + f"{os.getpid()}_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:10]
     shutil.rmtree(state_dir, ignore_errors=True)
@@ -394,7 +395,7 @@ def _q_incremental_sql_dedupe(spark, sf_dir):
     )
 
     cfg = dataclasses.replace(CFG, pair_topology="all_pairs")
-    state_dir = "/tmp/spark_graft_incr_sql_state_" + hashlib.md5(
+    state_dir = "/tmp/spark_graft_incr_sql_state_" + f"{os.getpid()}_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:10]
     shutil.rmtree(state_dir, ignore_errors=True)
@@ -434,7 +435,7 @@ def _q_incremental_sql_strict(spark, sf_dir):
     )
 
     cfg = dataclasses.replace(CFG, pair_topology="all_pairs")
-    state_dir = "/tmp/spark_graft_incr_sqlstrict_state_" + hashlib.md5(
+    state_dir = "/tmp/spark_graft_incr_sqlstrict_state_" + f"{os.getpid()}_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:10]
     shutil.rmtree(state_dir, ignore_errors=True)
