@@ -195,6 +195,30 @@ def _q_bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir))
 
 
+def _q_repeated_line_removal(spark, sf_dir):
+    """Corpus-wide repeated-line removal (operators/text_analysis.py
+    remove_repeated_lines — the C4/RefinedWeb boilerplate-line filter,
+    r5). The generator's texts carry no newlines, so the fixture derives
+    lines by sentence-splitting ('. ' → newline) and appends a shared
+    boilerplate line to every 3rd doc (mirrored by the oracle's base
+    CTE) — those lines occur in ≥2 distinct docs and must be removed
+    from ALL of them, with surviving lines keeping original order."""
+    from cpp_near_dedupe_spark.operators.text_analysis import remove_repeated_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"\. ", "\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nsubscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_repeated_lines(lined, min_docs=2)
+
+
 def _q_ngram_jaccard_adjacent(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.ngram import ngram_jaccard_adjacent
 
@@ -816,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "bpe_token_stats": _q_bpe_token_stats,
         "ngram_jaccard_adjacent": _q_ngram_jaccard_adjacent,
+        # r5: C4/RefinedWeb corpus-wide repeated-line removal (full oracle)
+        "repeated_line_removal": _q_repeated_line_removal,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
         # simhash: the production fingerprint is XXH64-based (rows-only,
         # same reason as the parity chain); simhash_sql* is its md5/60-bit
@@ -1391,6 +1417,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_sum(list_transform(ps, x -> length(x))), 0)::BIGINT
                      AS n_piece_chars
             FROM p
+        """,
+        "repeated_line_removal": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(text, '\. ', chr(10), 'g') ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || 'subscribe to our newsletter today'
+                          ELSE '' END AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+              FROM base),
+            counts AS (
+              SELECT md5(line) AS h, count(DISTINCT doc_id) AS n
+              FROM l GROUP BY 1),
+            boiler AS (SELECT h FROM counts WHERE n >= 2),
+            tagged AS (
+              SELECT doc_id, idx, line,
+                     md5(line) IN (SELECT h FROM boiler) AS is_boiler
+              FROM l),
+            kept AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean
+              FROM tagged WHERE NOT is_boiler GROUP BY doc_id),
+            stats AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines,
+                     sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT AS n_removed
+              FROM tagged GROUP BY doc_id)
+            SELECT s.doc_id, s.n_lines, s.n_removed,
+                   md5(coalesce(k.clean, '')) AS clean_md5
+            FROM stats s LEFT JOIN kept k ON k.doc_id = s.doc_id
         """,
         "ngram_jaccard_adjacent": f"""
             WITH grams AS (

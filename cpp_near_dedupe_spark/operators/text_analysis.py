@@ -6,7 +6,8 @@ into the scan. Each has an exact ANSI-SQL oracle (see __spark_entry__.py).
 
 Ops: whitespace/word token counts, quality scoring (character-class
 ratios), document fingerprinting (normalized-text hash), token histogram,
-stopword-ratio language ID.
+stopword-ratio language ID, BPE-ish pre-tokenizer stats, corpus-wide
+repeated-line removal (the C4/RefinedWeb boilerplate filter).
 """
 
 from __future__ import annotations
@@ -154,4 +155,66 @@ def bpe_token_stats(
             F.aggregate(F.transform("_p", F.length), F.lit(0), lambda a, x: a + x),
             F.lit(0),
         ).cast("long").alias("n_piece_chars"),
+    )
+
+
+def remove_repeated_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide repeated-line removal — the C4/RefinedWeb boilerplate
+    filter: a line occurring in ≥ ``min_docs`` DISTINCT documents
+    (navigation chrome, cookie banners, "subscribe" calls at web scale)
+    is dropped from every document; remaining lines keep their original
+    order. Returns (id, n_lines, n_removed, clean_md5) — the cleaned text
+    travels as its md5 so result rows stay fixed-width.
+
+    Scale shape: one ``posexplode`` pass over the corpus (inherent — the
+    statistic is corpus-global), line identity as ``md5(line)`` so the
+    repeated-line aggregation shuffles fixed-width hashes with map-side
+    combine, a hash join of the (typically tiny) boilerplate set back
+    onto the exploded lines, and one per-doc re-aggregation whose
+    ``array_sort(collect_list(struct(idx, line)))`` restores order — the
+    same two-shuffle MapReduce the published pipelines use. Everything is
+    built-in functions; the DuckDB oracle mirrors it expression for
+    expression (zipped unnest, count-distinct per line hash,
+    string_agg ORDER BY idx)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("idx", "line"),
+    ).withColumn("h", F.md5("line"))
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    tagged = lines.join(
+        boiler.withColumn("is_boiler", F.lit(True)), "h", "left"
+    ).withColumn("is_boiler", F.coalesce("is_boiler", F.lit(False)))
+    kept = (
+        tagged.filter(~F.col("is_boiler"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("_clean")
+        )
+    )
+    stats = tagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+    )
+    return stats.join(kept, id_col, "left").select(
+        F.col(id_col),
+        "n_lines",
+        "n_removed",
+        F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_md5"),
     )

@@ -269,3 +269,35 @@ def test_simhash_batch_global_equals_perdoc():
         + ["", "   ...!!", "a", "ÀÉ漢字 test 123", "x" * 4000, "7 7 7 seven"]
     )
     assert np.array_equal(simhash_batch_perdoc(texts), simhash_batch(texts))
+
+
+def test_remove_repeated_lines_semantics(spark):
+    """r5: C4/RefinedWeb-style corpus-wide boilerplate-line removal — a
+    line in >= min_docs DISTINCT docs is dropped from every doc, survivors
+    keep original order, a fully-boilerplate doc cleans to empty."""
+    import hashlib
+
+    from cpp_near_dedupe_spark.operators.text_analysis import remove_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nBOILER\nbeta"),
+            (2, "BOILER\ngamma"),
+            (3, "BOILER"),
+            (4, "standalone"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_lines(docs, min_docs=2).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[1].n_lines, out[1].n_removed) == (3, 1)
+    assert out[1].clean_md5 == md5("alpha\nbeta")  # order preserved
+    assert out[2].clean_md5 == md5("gamma")
+    assert (out[3].n_removed, out[3].clean_md5) == (1, md5(""))  # all removed
+    assert (out[4].n_removed, out[4].clean_md5) == (0, md5("standalone"))
+    # within-doc repetition alone is NOT boilerplate (distinct-doc count)
+    solo = spark.createDataFrame(
+        [(1, "dup\ndup\nx"), (2, "y")], "doc_id long, text string"
+    )
+    r1 = {r.doc_id: r for r in remove_repeated_lines(solo, min_docs=2).collect()}[1]
+    assert r1.n_removed == 0 and r1.clean_md5 == md5("dup\ndup\nx")
