@@ -77,6 +77,7 @@ def main() -> int:
         # the headline while its two moving parts are already tracked
         # (greedy via lsh_greedy_kept, the incremental machinery here).
         "incremental_sql_dedupe",
+        "repeated_line_removal",     # r5: corpus-wide boilerplate filter
     ]
     from cpp_near_dedupe_spark.cache import release_all
 
