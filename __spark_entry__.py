@@ -219,6 +219,73 @@ def _q_repeated_line_removal(spark, sf_dir):
     return remove_repeated_lines(lined, min_docs=2)
 
 
+# --- entity resolution (record linkage) over the customer table (r5) ------
+# Full blocking → JW scoring → transitive clustering → golden records
+# chain (operators/entity_resolution.py). The driver's customer table is
+# clean, so each query first derives the deterministic dirty-records
+# fixture (typo'd copies for every 7th/13th customer) with expressions the
+# DuckDB oracle mirrors exactly — see the module docstring.
+
+
+def _er_records(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        dirty_customer_records,
+    )
+
+    return dirty_customer_records(
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+    )
+
+
+def _q_er_records(spark, sf_dir):
+    return _er_records(spark, sf_dir).drop("entity_id")
+
+
+def _q_er_candidate_pairs(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        er_candidate_pairs,
+    )
+
+    return er_candidate_pairs(_er_records(spark, sf_dir))
+
+
+def _q_er_matches(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.entity_resolution import er_matches
+
+    return er_matches(_er_records(spark, sf_dir))
+
+
+def _q_er_clusters(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.entity_resolution import er_clusters
+
+    return er_clusters(_er_records(spark, sf_dir))
+
+
+def _q_er_golden_records(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        er_golden_records,
+    )
+
+    return er_golden_records(_er_records(spark, sf_dir))
+
+
+def _q_pages_dedupe(spark, sf_dir):
+    """North-star input shape end-to-end (plans/pages_pipeline.py, r5):
+    documents → deterministic pages (url, warc_ts, html, text, lang) →
+    url-keyed record linkage through the full SQL-mode chain (xxhash64
+    surrogate ids internally, lexicographic-min-url representative) →
+    (url, cluster_url, is_kept). The oracle replays the chain keyed
+    directly on url strings: cluster membership is surrogate-independent,
+    so the two keyings must produce identical answers."""
+    from cpp_near_dedupe_spark.plans.pages_pipeline import (
+        pages_record_linkage,
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(_docs(spark, sf_dir))
+    return pages_record_linkage(spark, pages)
+
+
 def _q_ngram_jaccard_adjacent(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.ngram import ngram_jaccard_adjacent
 
@@ -843,6 +910,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: C4/RefinedWeb corpus-wide repeated-line removal (full oracle)
         "repeated_line_removal": _q_repeated_line_removal,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
+        # r5: record-linkage chain over the customer table (the tier's
+        # namesake) — blocking, JW-blend scoring, transitive clusters,
+        # golden records; every stage has a full DuckDB oracle
+        # r5: the north-star pages input shape end-to-end (url identity)
+        "pages_dedupe": _q_pages_dedupe,
+        "er_records": _q_er_records,
+        "er_candidate_pairs": _q_er_candidate_pairs,
+        "er_matches": _q_er_matches,
+        "er_clusters": _q_er_clusters,
+        "er_golden_records": _q_er_golden_records,
         # simhash: the production fingerprint is XXH64-based (rows-only,
         # same reason as the parity chain); simhash_sql* is its md5/60-bit
         # twin with the identical vote/sign/pack construction, fully
@@ -957,6 +1034,73 @@ comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
 
 
 _SQLMODE_CTE = _sqlmode_cte()
+
+
+# Shared CTE prefix for the entity-resolution oracles: rebuilds the
+# deterministic dirty-customer fixture expression-for-expression
+# (operators/entity_resolution.py dirty_customer_records), then mirrors
+# blocking (name prefix-2 + exact phone), all-pairs candidates within
+# blocks (test-scale blocks are all far under the 256 cap, so the capped
+# topology's cold path IS exact all-pairs; the hot path has its own
+# structural unit test), the JW blend score with the same
+# round-jw-then-round-blend discipline, threshold 0.85, recursive-CTE
+# connected components, and coalesce-to-self for singletons.
+_ER_CTE = """
+er_base AS (
+  SELECT c_custkey * 10 AS rec_id, c_custkey AS entity_id,
+         translate(substr(md5(cast(c_custkey AS VARCHAR)), 1, 12),
+                   '0123456789', 'ghijklmnop') AS name,
+         lpad(cast(c_custkey AS VARCHAR), 9, '0') AS phone,
+         cast(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment AS segment,
+         round(c_acctbal, 2) AS bal
+  FROM customer),
+er_recs AS (
+  SELECT rec_id, entity_id, name, phone, nation, segment, bal FROM er_base
+  UNION ALL
+  SELECT rec_id + 1, entity_id,
+         concat(substr(name, 1, 3), substr(name, 5, 12)) AS name,
+         phone, nation, segment, round(bal - 1.0, 2)
+  FROM er_base WHERE entity_id % 7 = 0
+  UNION ALL
+  SELECT rec_id + 2, entity_id,
+         concat(substr(name, 1, 8), substr(name, 10, 1), substr(name, 9, 1),
+                substr(name, 11, 2)) AS name,
+         concat('9', substr(phone, 2, 8)) AS phone,
+         nation, segment, round(bal - 2.0, 2)
+  FROM er_base WHERE entity_id % 13 = 0),
+er_blocks AS (
+  SELECT concat('nm:', substr(name, 1, 2)) AS block_key, rec_id FROM er_recs
+  UNION ALL
+  SELECT concat('ph:', phone) AS block_key, rec_id FROM er_recs),
+er_cand AS (
+  SELECT DISTINCT l.rec_id AS a, r.rec_id AS b
+  FROM er_blocks l
+  JOIN er_blocks r ON l.block_key = r.block_key AND l.rec_id < r.rec_id),
+er_scored AS (
+  SELECT p.a, p.b,
+         round(jaro_winkler_similarity(la.name, rb.name), 6) AS jw,
+         round(round(jaro_winkler_similarity(la.name, rb.name), 6) * 0.8
+               + (CASE WHEN la.phone = rb.phone THEN 1.0 ELSE 0.0 END) * 0.1
+               + (CASE WHEN la.nation = rb.nation THEN 1.0 ELSE 0.0 END) * 0.1,
+               6) AS score
+  FROM er_cand p
+  JOIN er_recs la ON la.rec_id = p.a
+  JOIN er_recs rb ON rb.rec_id = p.b),
+er_matches AS (SELECT a, b, jw, score FROM er_scored WHERE score >= 0.85),
+er_sym AS (
+  SELECT a, b FROM er_matches UNION SELECT b AS a, a AS b FROM er_matches),
+er_reach(node, r) AS (
+  SELECT a AS node, a AS r FROM er_sym
+  UNION
+  SELECT e.b AS node, er_reach.r
+  FROM er_reach JOIN er_sym e ON e.a = er_reach.node),
+er_comp AS (SELECT node, min(r) AS cluster_id FROM er_reach GROUP BY node),
+er_clusters AS (
+  SELECT er_recs.rec_id,
+         coalesce(er_comp.cluster_id, er_recs.rec_id) AS cluster_id
+  FROM er_recs LEFT JOIN er_comp ON er_comp.node = er_recs.rec_id)
+"""
 
 # mirror of _chain_docs: prefix-truncated copies (4/5 and 13/20 of tokens) of
 # every 5th doc with 30-250 tokens — a~b~c jaccard chains with no a~c edge,
@@ -1464,6 +1608,51 @@ def oracle_sql() -> dict[str, str]:
                               / (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g)))
                          ELSE 0.0 END, 6) AS jaccard
             FROM grams l JOIN grams r ON r.a = l.a + 1
+        """,
+        "pages_dedupe": f"""
+            WITH RECURSIVE pages_docs AS (
+              SELECT concat('https://crawl.example/',
+                            lpad(cast(doc_id AS VARCHAR), 12, '0'),
+                            '.html') AS doc_id,
+                     text
+              FROM documents),
+            {_sqlmode_cte("pages_docs")}
+            SELECT p.doc_id AS url,
+                   coalesce(c.cluster_id, p.doc_id) AS cluster_url,
+                   (coalesce(c.cluster_id, p.doc_id) = p.doc_id) AS is_kept
+            FROM pages_docs p LEFT JOIN comp c ON c.node = p.doc_id
+        """,
+        "er_records": f"""
+            WITH RECURSIVE {_ER_CTE}
+            SELECT rec_id, name, phone, nation, segment, bal FROM er_recs
+        """,
+        "er_candidate_pairs": f"""
+            WITH RECURSIVE {_ER_CTE}
+            SELECT a, b FROM er_cand
+        """,
+        "er_matches": f"""
+            WITH RECURSIVE {_ER_CTE}
+            SELECT a, b, jw, score FROM er_matches
+        """,
+        "er_clusters": f"""
+            WITH RECURSIVE {_ER_CTE}
+            SELECT rec_id, cluster_id FROM er_clusters
+        """,
+        "er_golden_records": f"""
+            WITH RECURSIVE {_ER_CTE},
+            er_agg AS (
+              SELECT cluster_id, count(*) AS n_members, min(rec_id) AS rep_id
+              FROM er_clusters GROUP BY cluster_id),
+            er_bal AS (
+              SELECT c.cluster_id, round(max(r.bal), 2) AS max_bal
+              FROM er_clusters c JOIN er_recs r ON r.rec_id = c.rec_id
+              GROUP BY c.cluster_id)
+            SELECT a.cluster_id, a.rep_id, a.n_members,
+                   r.name AS rep_name, r.phone AS rep_phone,
+                   r.segment AS rep_segment, b.max_bal
+            FROM er_agg a
+            JOIN er_recs r ON r.rec_id = a.rep_id
+            JOIN er_bal b ON b.cluster_id = a.cluster_id
         """,
         "jaro_winkler_adjacent": """
             WITH p AS (
