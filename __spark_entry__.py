@@ -286,6 +286,72 @@ def _q_pages_dedupe(spark, sf_dir):
     return pages_record_linkage(spark, pages)
 
 
+# --- URL canonicalization / crawl-identity dedup (r5) ---------------------
+# Messy-URL fixture: every doc contributes a clean url plus one messy
+# variant (case-folded host, tracking params, unsorted params + fragment,
+# or explicit default port, by doc_id % 4). Hosts shard across 5
+# subdomains so domain stats aggregate something real. Mirrored
+# expression-for-expression by the oracles.
+
+
+def _messy_urls(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    p = F.col("doc_id").cast("string")
+    shard = (F.col("doc_id") % 5).cast("string")
+    clean = F.concat(
+        F.lit("https://s"), shard, F.lit(".example.com/a/"), p
+    )
+    messy = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://S"),
+                shard,
+                F.lit(".Example.COM/a/"),
+                p,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(clean, F.lit("?utm_source=feed&ref=rss")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(clean, F.lit("?b=2&a=1&utm_campaign=x#frag")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://s"),
+                shard,
+                F.lit(".example.com:443/a/"),
+                p,
+            )
+        )
+    )
+    return docs.select(clean.alias("url")).unionByName(
+        docs.select(messy.alias("url"))
+    )
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.urls import url_canonicalize
+
+    return url_canonicalize(_messy_urls(spark, sf_dir))
+
+
+def _q_url_dedupe_kept(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.urls import url_dedupe
+
+    return url_dedupe(_messy_urls(spark, sf_dir))
+
+
+def _q_url_domain_stats(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.urls import domain_stats
+
+    return domain_stats(_messy_urls(spark, sf_dir))
+
+
 def _q_ngram_jaccard_adjacent(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.ngram import ngram_jaccard_adjacent
 
@@ -910,11 +976,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: C4/RefinedWeb corpus-wide repeated-line removal (full oracle)
         "repeated_line_removal": _q_repeated_line_removal,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
+        # r5: the north-star pages input shape end-to-end (url identity)
+        "pages_dedupe": _q_pages_dedupe,
+        # r5: URL canonicalization / crawl-identity dedup / domain stats
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedupe_kept": _q_url_dedupe_kept,
+        "url_domain_stats": _q_url_domain_stats,
         # r5: record-linkage chain over the customer table (the tier's
         # namesake) — blocking, JW-blend scoring, transitive clusters,
         # golden records; every stage has a full DuckDB oracle
-        # r5: the north-star pages input shape end-to-end (url identity)
-        "pages_dedupe": _q_pages_dedupe,
         "er_records": _q_er_records,
         "er_candidate_pairs": _q_er_candidate_pairs,
         "er_matches": _q_er_matches,
@@ -1100,6 +1170,47 @@ er_clusters AS (
   SELECT er_recs.rec_id,
          coalesce(er_comp.cluster_id, er_recs.rec_id) AS cluster_id
   FROM er_recs LEFT JOIN er_comp ON er_comp.node = er_recs.rec_id)
+"""
+
+# Shared CTE for the URL oracles: rebuilds the messy-URL fixture
+# (__spark_entry__._messy_urls) and mirrors operators/urls.py
+# canonicalize_url rule-for-rule. Every regexp is anchored (at most one
+# match), so DuckDB's replace-first and Spark's replace-all agree.
+_URL_CTE = """
+url_base AS (
+  SELECT doc_id, cast(doc_id AS VARCHAR) AS p,
+         cast(doc_id % 5 AS VARCHAR) AS shard
+  FROM documents),
+url_raw AS (
+  SELECT concat('https://s', shard, '.example.com/a/', p) AS url
+  FROM url_base
+  UNION ALL
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN concat('https://S', shard, '.Example.COM/a/', p, '/')
+    WHEN 1 THEN concat('https://s', shard, '.example.com/a/', p,
+                       '?utm_source=feed&ref=rss')
+    WHEN 2 THEN concat('https://s', shard, '.example.com/a/', p,
+                       '?b=2&a=1&utm_campaign=x#frag')
+    ELSE concat('HTTPS://s', shard, '.example.com:443/a/', p) END
+  FROM url_base),
+url_canon AS (
+  SELECT url, concat(
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(u, '^([^/]*//[^/?]*)', 1)), ':443$', ''),
+      ':80$', ''),
+    regexp_replace(
+      regexp_replace(regexp_replace(u, '^[^/]*//[^/?]*', ''),
+                     '\\?.*$', ''),
+      '/$', ''),
+    CASE WHEN kept != '' THEN concat('?', kept) ELSE '' END) AS canonical_url
+  FROM (
+    SELECT url, u,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
+             x -> x != '' AND NOT (starts_with(x, 'utm_')
+                  OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+                  OR starts_with(x, 'ref=')))), '&') AS kept
+    FROM (SELECT url, regexp_replace(url, '#.*$', '') AS u FROM url_raw)))
 """
 
 # mirror of _chain_docs: prefix-truncated copies (4/5 and 13/20 of tokens) of
@@ -1621,6 +1732,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.cluster_id, p.doc_id) AS cluster_url,
                    (coalesce(c.cluster_id, p.doc_id) = p.doc_id) AS is_kept
             FROM pages_docs p LEFT JOIN comp c ON c.node = p.doc_id
+        """,
+        "url_canonicalize": f"""
+            WITH {_URL_CTE}
+            SELECT url, canonical_url FROM url_canon
+        """,
+        "url_dedupe_kept": f"""
+            WITH {_URL_CTE},
+            url_keep AS (
+              SELECT canonical_url, min(url) AS _keep
+              FROM url_canon GROUP BY canonical_url)
+            SELECT c.url, c.canonical_url, (c.url = k._keep) AS is_kept
+            FROM url_canon c JOIN url_keep k USING (canonical_url)
+        """,
+        "url_domain_stats": f"""
+            WITH {_URL_CTE}
+            SELECT regexp_extract(canonical_url, '^[^/]*//([^/?]*)', 1)
+                     AS host,
+                   count(*) AS n_pages,
+                   count(DISTINCT canonical_url) AS n_canonical
+            FROM url_canon GROUP BY 1
         """,
         "er_records": f"""
             WITH RECURSIVE {_ER_CTE}
