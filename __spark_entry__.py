@@ -228,12 +228,20 @@ def _q_repeated_line_removal(spark, sf_dir):
 
 
 def _er_records(spark, sf_dir):
+    from cpp_near_dedupe_spark.cache import track
     from cpp_near_dedupe_spark.operators.entity_resolution import (
         dirty_customer_records,
     )
 
-    return dirty_customer_records(
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # the records relation feeds every ER consumer (block keys ×2, pair
+    # scoring ×2, cluster/golden joins) — uncached, Catalyst replicates
+    # the union-of-three-scans subtree into every branch (~40 scans in
+    # the er_matches plan). One session-registry persist = the relation
+    # is materialized once, like the real records table it stands in for.
+    return track(
+        dirty_customer_records(
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+        )
     )
 
 

@@ -78,6 +78,12 @@ def main() -> int:
         # (greedy via lsh_greedy_kept, the incremental machinery here).
         "incremental_sql_dedupe",
         "repeated_line_removal",     # r5: corpus-wide boilerplate filter
+        # r5: record-linkage chain (golden records exercises blocking,
+        # JW scoring, CC, and survivorship end-to-end) + the north-star
+        # pages shape + crawl-identity URL dedup
+        "er_golden_records",
+        "pages_dedupe",
+        "url_dedupe_kept",
     ]
     from cpp_near_dedupe_spark.cache import release_all
 

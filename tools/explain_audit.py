@@ -83,6 +83,18 @@ def main() -> int:
         # rows per query) — no window over an uncapped candidate stream
         "ann lsh_topk capped probe (r5: degenerate-bucket candidates "
         "capped before the rank)": entry._q_ann_lsh_topk(spark, sf_dir),
+        # r5 record-linkage chain: block-key equi-joins + Arrow JW kernel;
+        # hot blocks ride the same windowless capped+star as band buckets
+        "er_matches (blocking equi-join + Arrow JW, no window)":
+            entry._q_er_matches(spark, sf_dir),
+        "er_golden_records (hash aggregations + broadcast-size joins)":
+            entry._q_er_golden_records(spark, sf_dir),
+        # pages shape: html/warc_ts/lang must be pruned out of the scan —
+        # ReadSchema on the documents scan stays (doc_id, text)
+        "pages_dedupe (url identity; unused page columns pruned)":
+            entry._q_pages_dedupe(spark, sf_dir),
+        "url_dedupe_kept (pure codegen canonicalization + hash agg)":
+            entry._q_url_dedupe_kept(spark, sf_dir),
     }
     out = ["# Physical plan audit (generated by tools/explain_audit.py)\n"]
     for title, df in plans.items():
