@@ -294,6 +294,20 @@ def _q_pages_dedupe(spark, sf_dir):
     return pages_record_linkage(spark, pages)
 
 
+def _q_pages_dedupe_first_seen(spark, sf_dir):
+    """Archival keep rule: earliest warc_ts (url tiebreak) is the cluster
+    representative — the pages-shape analogue of order_col keep-first.
+    The fixture's warc_ts is deliberately not aligned with url order, so
+    this provably differs from pages_dedupe's min-url answer."""
+    from cpp_near_dedupe_spark.plans.pages_pipeline import (
+        pages_record_linkage,
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(_docs(spark, sf_dir))
+    return pages_record_linkage(spark, pages, keep="first_seen")
+
+
 # --- URL canonicalization / crawl-identity dedup (r5) ---------------------
 # Messy-URL fixture: every doc contributes a clean url plus one messy
 # variant (case-folded host, tracking params, unsorted params + fragment,
@@ -986,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
         # r5: the north-star pages input shape end-to-end (url identity)
         "pages_dedupe": _q_pages_dedupe,
+        "pages_dedupe_first_seen": _q_pages_dedupe_first_seen,
         # r5: URL canonicalization / crawl-identity dedup / domain stats
         "url_canonicalize": _q_url_canonicalize,
         "url_dedupe_kept": _q_url_dedupe_kept,
@@ -1760,6 +1775,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages,
                    count(DISTINCT canonical_url) AS n_canonical
             FROM url_canon GROUP BY 1
+        """,
+        "pages_dedupe_first_seen": f"""
+            WITH RECURSIVE pages_docs AS (
+              SELECT concat('https://crawl.example/',
+                            lpad(cast(doc_id AS VARCHAR), 12, '0'),
+                            '.html') AS doc_id,
+                     text,
+                     1704067200 + (doc_id * 7919) % 100000 AS ts
+              FROM documents),
+            {_sqlmode_cte("pages_docs")},
+            pg_memb AS (
+              SELECT p.doc_id AS url, p.ts,
+                     coalesce(c.cluster_id, p.doc_id) AS cid
+              FROM pages_docs p LEFT JOIN comp c ON c.node = p.doc_id),
+            pg_first AS (SELECT cid, min(ts) AS mts FROM pg_memb GROUP BY cid),
+            pg_rep AS (
+              SELECT m.cid, min(m.url) AS cluster_url
+              FROM pg_memb m JOIN pg_first f
+                ON f.cid = m.cid AND m.ts = f.mts
+              GROUP BY m.cid)
+            SELECT m.url, r.cluster_url, (m.url = r.cluster_url) AS is_kept
+            FROM pg_memb m JOIN pg_rep r ON r.cid = m.cid
         """,
         "er_records": f"""
             WITH RECURSIVE {_ER_CTE}

@@ -50,9 +50,12 @@ def synthesize_pages(docs: DataFrame) -> DataFrame:
             F.lpad(F.col("doc_id").cast("string"), 12, "0"),
             F.lit(".html"),
         ).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
-            "warc_ts"
-        ),
+        # crawl time deliberately NOT aligned with url order (pseudo-
+        # shuffle by a prime stride) so the first-seen keep rule is a
+        # different answer than min-url and its oracle is non-vacuous
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") * 7919) % 100000
+        ).alias("warc_ts"),
         F.col("text").cast("binary").alias("html"),
         "text",
         F.lit("en").alias("lang"),
@@ -60,17 +63,35 @@ def synthesize_pages(docs: DataFrame) -> DataFrame:
 
 
 def pages_record_linkage(
-    spark: SparkSession, pages: DataFrame, cfg: DedupeConfig | None = None
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupeConfig | None = None,
+    keep: str = "min_url",
 ) -> DataFrame:
     """pages → (url, cluster_url, is_kept), one row per page.
 
-    ``cluster_url`` is the lexicographic-min url of the page's duplicate
-    cluster (itself for singletons); ``is_kept`` marks the cluster
-    representative — the keep-first rewrite keyed by url.
+    ``cluster_url`` is the cluster representative (itself for
+    singletons); ``is_kept`` marks it — the keep-first rewrite keyed by
+    url. ``keep`` selects the representative rule:
+
+    * ``"min_url"`` — lexicographic-min url: a pure function of page
+      contents, stable under re-crawls that permute row order;
+    * ``"first_seen"`` — earliest ``warc_ts`` (url as tiebreak): the
+      archival rule (keep the first crawl of a page), the pages-shape
+      analogue of the reference's arrival-order keep-first
+      (`/root/reference/CPPDeduper/DupeResolverThread.h:79-96`) and of
+      ``DedupeConfig.order_col="warc_ts"`` on the parity pipeline.
+      Implemented as one struct-min hash aggregation — min(struct(ts,
+      url)) orders lexicographically by field — no window.
     """
     cfg = cfg or DedupeConfig()
     keyed = with_doc_id(pages, cfg)
-    ids = keyed.select("doc_id", "url")
+    order_cols = ["doc_id", "url"] if keep == "min_url" else [
+        "doc_id",
+        "url",
+        "warc_ts",
+    ]
+    ids = keyed.select(*order_cols)
     res = run_sql_pipeline(
         spark, keyed.select("doc_id", "text"), cfg, stop_after="edges"
     )
@@ -79,17 +100,23 @@ def pages_record_linkage(
         max_iterations=cfg.cc_max_iterations,
         distinct_pairs=True,
     )
+    passthru = [c for c in order_cols if c != "doc_id"]
     memb = (
         ids.join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .select(
-            "url", F.coalesce("cluster_id", F.col("doc_id")).alias("_cid")
+            *passthru,
+            F.coalesce("cluster_id", F.col("doc_id")).alias("_cid"),
         )
     )
-    # survivor = min url per component; the components relation is tiny
-    # relative to pages (only clustered pages appear with a shared _cid),
-    # and the groupBy is a hash aggregation on the same _cid the join
-    # below shuffles on — one exchange, reused.
-    surv = memb.groupBy("_cid").agg(F.min("url").alias("cluster_url"))
+    # survivor per component via one struct-min hash aggregation; the
+    # groupBy is on the same _cid the join below shuffles on — one
+    # exchange, reused. No window.
+    if keep == "min_url":
+        surv = memb.groupBy("_cid").agg(F.min("url").alias("cluster_url"))
+    else:
+        surv = memb.groupBy("_cid").agg(
+            F.min(F.struct("warc_ts", "url"))["url"].alias("cluster_url")
+        )
     return memb.join(surv, "_cid").select(
         "url",
         "cluster_url",

@@ -166,3 +166,22 @@ def test_pages_record_linkage_roundtrip(spark):
     assert kept.count() == reps.count()
     # duplicates exist in the corpus, so some pages must be dropped
     assert out.filter(~F.col("is_kept")).count() > 0
+
+    # first-seen keep rule: same cluster membership partition, but the
+    # scrambled warc_ts makes at least one representative differ from
+    # the min-url rule (non-vacuous fixture)
+    fs = pages_record_linkage(spark, pages, keep="first_seen").cache()
+    assert fs.count() == out.count()
+    both = out.select("url", F.col("cluster_url").alias("cu_min")).join(
+        fs.select("url", F.col("cluster_url").alias("cu_fs")), "url"
+    )
+    # partitions agree: grouping by either representative column yields
+    # identical co-membership (cu_min determines cu_fs and vice versa)
+    assert (
+        both.groupBy("cu_min")
+        .agg(F.countDistinct("cu_fs").alias("n"))
+        .filter(F.col("n") != 1)
+        .count()
+        == 0
+    )
+    assert both.filter(F.col("cu_min") != F.col("cu_fs")).count() > 0
