@@ -374,6 +374,150 @@ def _q_url_domain_stats(spark, sf_dir):
     return domain_stats(_messy_urls(spark, sf_dir))
 
 
+# --- html extraction / PII / sampling / crawl delta (r5) ------------------
+# Each fixture is derived from `documents` with expressions that exist
+# identically in Spark SQL and DuckDB, so the oracles rebuild the exact
+# corpus. Adorned-pages html exercises every extraction rule (script,
+# style, comment, tags, all six entities, whitespace runs); the PII
+# fixture injects one detectable of each class on coprime strides; the
+# sampling fixture gives one hot domain (~55% of urls) + nine cold ones;
+# the crawl snapshots mix removed/changed/added pages with a
+# tracking-param url variant that canonicalization must equate.
+
+
+def _page_url():
+    return F.concat(
+        F.lit("https://crawl.example/"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lit(".html"),
+    )
+
+_PAGE_URL_SQL = (
+    "concat('https://crawl.example/', "
+    "lpad(cast(doc_id AS VARCHAR), 12, '0'), '.html')"
+)
+
+# oracle mirrors kept next to their implementations (single source for
+# the rule lists); imported here so the f-string oracles below stay flat
+from cpp_near_dedupe_spark.operators.html_text import (  # noqa: E402
+    extract_text_sql as _extract_text_sql,
+)
+from cpp_near_dedupe_spark.operators.pii import (  # noqa: E402
+    pii_scrub_sql as _pii_scrub_sql,
+)
+from cpp_near_dedupe_spark.operators.sampling import (  # noqa: E402
+    h60_sql as _h60_sql,
+)
+
+_HTML_EXTRACT_SQL = _extract_text_sql("html")
+_PII_SCRUB_SQL = _pii_scrub_sql("doc_id", "text")
+
+
+def _adorned_pages(spark, sf_dir):
+    html = F.concat(
+        F.lit(
+            '<html><head><script>var x = "</div>";</script>'
+            "<style>p{color:red}</style></head><body><!-- generated --><p>"
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><br>&amp;copy; &lt;end&gt;&nbsp;&#39;fin&#39;</body></html>"),
+    ).cast("binary")
+    return _docs(spark, sf_dir).select(
+        _page_url().alias("url"), html.alias("html")
+    )
+
+
+def _q_html_extract_text(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.html_text import html_extract_text
+
+    return html_extract_text(_adorned_pages(spark, sf_dir))
+
+
+def _pii_docs(spark, sf_dir):
+    did = F.col("doc_id")
+    text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.pii import pii_scrub
+
+    return pii_scrub(_pii_docs(spark, sf_dir))
+
+
+def _skewed_urls(spark, sf_dir):
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("d"),
+        F.when(did % 2 == 0, F.lit("0")).otherwise((did % 10).cast("string")),
+        F.lit(".example.com"),
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), did.cast("string")
+        ).alias("url")
+    )
+
+
+def _q_domain_cap_sample(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.sampling import domain_cap_sample
+
+    return domain_cap_sample(_skewed_urls(spark, sf_dir), cap=60)
+
+
+def _q_hash_split(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.sampling import hash_split
+
+    return hash_split(_skewed_urls(spark, sf_dir))
+
+
+def _crawl_snapshots(spark, sf_dir):
+    did = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        _page_url().alias("url"),
+    )
+    old = docs.select("url", "text")
+    base_new = docs.filter(~(did % 7 == 3)).select(
+        F.when(
+            did % 5 == 1, F.concat(F.col("url"), F.lit("?utm_source=x#frag"))
+        )
+        .otherwise(F.col("url"))
+        .alias("url"),
+        F.when(did % 3 == 0, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(did % 11 == 0).select(
+        F.concat(F.col("url"), F.lit("-new")).alias("url"),
+        F.concat(F.lit("fresh "), did.cast("string")).alias("text"),
+    )
+    return old, base_new.unionByName(added)
+
+
+def _q_crawl_delta(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.crawl_delta import crawl_delta
+
+    old, new = _crawl_snapshots(spark, sf_dir)
+    return crawl_delta(old, new)
+
+
 def _q_ngram_jaccard_adjacent(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.ngram import ngram_jaccard_adjacent
 
@@ -1005,6 +1149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "url_dedupe_kept": _q_url_dedupe_kept,
         "url_domain_stats": _q_url_domain_stats,
+        "html_extract_text": _q_html_extract_text,
+        "pii_scrub": _q_pii_scrub,
+        "domain_cap_sample": _q_domain_cap_sample,
+        "hash_split": _q_hash_split,
+        "crawl_delta": _q_crawl_delta,
         # r5: record-linkage chain over the customer table (the tier's
         # namesake) — blocking, JW-blend scoring, transitive clusters,
         # golden records; every stage has a full DuckDB oracle
@@ -1235,6 +1384,30 @@ url_canon AS (
                   OR starts_with(x, 'ref=')))), '&') AS kept
     FROM (SELECT url, regexp_replace(url, '#.*$', '') AS u FROM url_raw)))
 """
+
+
+def _canon_from_sql(src: str) -> str:
+    """DuckDB derived table: (text, canonical_url) from a (url, text)
+    relation — the same canonicalization algebra as ``_URL_CTE``, reused
+    by the crawl-delta oracle over each snapshot."""
+    return f"""(
+  SELECT text, concat(
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(u, '^([^/]*//[^/?]*)', 1)), ':443$', ''),
+      ':80$', ''),
+    regexp_replace(
+      regexp_replace(regexp_replace(u, '^[^/]*//[^/?]*', ''),
+                     '\\?.*$', ''),
+      '/$', ''),
+    CASE WHEN kept != '' THEN concat('?', kept) ELSE '' END) AS canonical_url
+  FROM (
+    SELECT u, text,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
+             x -> x != '' AND NOT (starts_with(x, 'utm_')
+                  OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+                  OR starts_with(x, 'ref=')))), '&') AS kept
+    FROM (SELECT regexp_replace(url, '#.*$', '') AS u, text FROM {src})))"""
 
 # mirror of _chain_docs: prefix-truncated copies (4/5 and 13/20 of tokens) of
 # every 5th doc with 30-250 tokens — a~b~c jaccard chains with no a~c edge,
@@ -1775,6 +1948,104 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages,
                    count(DISTINCT canonical_url) AS n_canonical
             FROM url_canon GROUP BY 1
+        """,
+        "html_extract_text": f"""
+            WITH pg AS (
+              SELECT {_PAGE_URL_SQL} AS url,
+                     encode(concat(
+                       '<html><head><script>var x = "</div>";</script>',
+                       '<style>p{{color:red}}</style></head><body>',
+                       '<!-- generated --><p>',
+                       coalesce(text, ''),
+                       '</p><br>&amp;copy; &lt;end&gt;&nbsp;',
+                       '&#39;fin&#39;</body></html>')) AS html
+              FROM documents)
+            SELECT url,
+                   {_HTML_EXTRACT_SQL} AS extracted_text,
+                   length({_HTML_EXTRACT_SQL})::BIGINT AS n_chars
+            FROM pg
+        """,
+        "pii_scrub": f"""
+            WITH pii_docs AS (
+              SELECT doc_id, concat(coalesce(text, ''),
+                CASE WHEN doc_id % 5 = 0
+                     THEN concat(' contact u', cast(doc_id AS VARCHAR),
+                                 '@example.com') ELSE '' END,
+                CASE WHEN doc_id % 7 = 0
+                     THEN concat(' from 10.0.',
+                                 cast(doc_id % 256 AS VARCHAR), '.1')
+                     ELSE '' END,
+                CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-867-5309' ELSE '' END) AS text
+              FROM documents)
+            {_PII_SCRUB_SQL} FROM pii_docs
+        """,
+        "domain_cap_sample": f"""
+            WITH u AS (
+              SELECT concat('https://d',
+                       CASE WHEN doc_id % 2 = 0 THEN '0'
+                            ELSE cast(doc_id % 10 AS VARCHAR) END,
+                       '.example.com/p/', cast(doc_id AS VARCHAR)) AS url
+              FROM documents),
+            rows_ AS (
+              SELECT url,
+                     lower(regexp_extract(url, '^[^/]*//([^/?]*)', 1)) AS host
+              FROM u),
+            hot AS (
+              SELECT host, count(*) AS n_pages
+              FROM rows_ GROUP BY host HAVING count(*) > 60)
+            SELECT r.url, r.host,
+                   CASE WHEN h.n_pages IS NULL THEN TRUE
+                        ELSE ({_h60_sql("r.url")}
+                              % ((h.n_pages + 59) // 60)) = 0
+                   END AS is_kept
+            FROM rows_ r LEFT JOIN hot h USING (host)
+        """,
+        "hash_split": f"""
+            WITH u AS (
+              SELECT concat('https://d',
+                       CASE WHEN doc_id % 2 = 0 THEN '0'
+                            ELSE cast(doc_id % 10 AS VARCHAR) END,
+                       '.example.com/p/', cast(doc_id AS VARCHAR)) AS url
+              FROM documents)
+            SELECT url,
+                   CASE WHEN ({_h60_sql("url")} % 100) < 98 THEN 'train'
+                        WHEN ({_h60_sql("url")} % 100) < 99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "crawl_delta": f"""
+            WITH docs0 AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     {_PAGE_URL_SQL} AS url
+              FROM documents),
+            old_raw AS (SELECT url, text FROM docs0),
+            new_raw AS (
+              SELECT CASE WHEN doc_id % 5 = 1
+                          THEN concat(url, '?utm_source=x#frag')
+                          ELSE url END AS url,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN concat(text, ' updated')
+                          ELSE text END AS text
+              FROM docs0 WHERE NOT (doc_id % 7 = 3)
+              UNION ALL
+              SELECT concat(url, '-new'),
+                     concat('fresh ', cast(doc_id AS VARCHAR))
+              FROM docs0 WHERE doc_id % 11 = 0),
+            old_c AS (
+              SELECT canonical_url, min(md5(text)) AS fp_old
+              FROM {_canon_from_sql("old_raw")} GROUP BY 1),
+            new_c AS (
+              SELECT canonical_url, min(md5(text)) AS fp_new
+              FROM {_canon_from_sql("new_raw")} GROUP BY 1)
+            SELECT coalesce(o.canonical_url, n.canonical_url)
+                     AS canonical_url,
+                   CASE WHEN o.canonical_url IS NULL THEN 'added'
+                        WHEN n.canonical_url IS NULL THEN 'removed'
+                        WHEN o.fp_old != n.fp_new THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old_c o FULL OUTER JOIN new_c n
+              ON o.canonical_url = n.canonical_url
         """,
         "pages_dedupe_first_seen": f"""
             WITH RECURSIVE pages_docs AS (
