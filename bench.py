@@ -84,6 +84,13 @@ def main() -> int:
         "er_golden_records",
         "pages_dedupe",
         "url_dedupe_kept",
+        # r5: crawl-pipeline shaping stages (extraction → scrub → sample
+        # → delta); all pure codegen'd projections/aggregations, cheap by
+        # construction — tracked so a UDF or window regression shows up
+        "html_extract_text",
+        "pii_scrub",
+        "domain_cap_sample",
+        "crawl_delta",
     ]
     from cpp_near_dedupe_spark.cache import release_all
 

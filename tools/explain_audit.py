@@ -95,6 +95,17 @@ def main() -> int:
             entry._q_pages_dedupe(spark, sf_dir),
         "url_dedupe_kept (pure codegen canonicalization + hash agg)":
             entry._q_url_dedupe_kept(spark, sf_dir),
+        # r5 crawl-pipeline shaping: all four must be UDF-free; the
+        # sampler and delta must have NO Window node (the hot domain /
+        # hot url must never concentrate in one rank task)
+        "html_extract_text (pure codegen regex chain, narrow projection)":
+            entry._q_html_extract_text(spark, sf_dir),
+        "pii_scrub (pure codegen regex, no UDF)":
+            entry._q_pii_scrub(spark, sf_dir),
+        "domain_cap_sample (hash agg + broadcast hot list, NO window)":
+            entry._q_domain_cap_sample(spark, sf_dir),
+        "crawl_delta (two hash aggs + one full-outer equi-join, NO window)":
+            entry._q_crawl_delta(spark, sf_dir),
     }
     out = ["# Physical plan audit (generated by tools/explain_audit.py)\n"]
     for title, df in plans.items():
