@@ -518,6 +518,76 @@ def _q_crawl_delta(spark, sf_dir):
     return crawl_delta(old, new)
 
 
+def _gopher_docs(spark, sf_dir):
+    """documents adorned so every Gopher rule is non-vacuous: bullets
+    (every 6th), trailing hashes (every 8th), ellipsis lines (every 9th);
+    the natural 30-250-token length spread exercises the word-count gate.
+    Mirrored expression-for-expression by the oracle CTE."""
+    did = F.col("doc_id")
+    text = F.concat(
+        F.when(did % 6 == 0, F.lit("- item one\n- item two\n")).otherwise(
+            F.lit("")
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % 8 == 0, F.lit(" ####")).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0, F.lit("\nto be continued...\nmore soon...")
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def _q_gopher_quality(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.quality_rules import (
+        gopher_quality_filter,
+    )
+
+    return gopher_quality_filter(_gopher_docs(spark, sf_dir))
+
+
+def _q_semantic_dedupe(spark, sf_dir):
+    """SemDeDup composition over the augmented embedding corpus: the
+    hash-verified exact pair set (embedding_dupe_pairs) → shared CC →
+    min-id keep. The driver query runs method='exact' so the DuckDB
+    oracle (pairs + recursive-CTE components) is exact; the 100 TB path
+    is the same composition with method='lsh' (pair recall pinned by
+    tests/test_ann_recall.py)."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import semantic_dedupe
+
+    return semantic_dedupe(
+        _aug_emb(spark, sf_dir), threshold=0.95, vec_col="v", method="exact"
+    )
+
+
+def _q_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontamination.py): every
+    17th document plays the benchmark corpus, n=13 word-gram collision
+    (the GPT-3/PaLM constant). Non-vacuous both ways: bench members hit
+    on all their own grams, the corpus's constructed near-copies hit on
+    shared runs, clean docs don't."""
+    from cpp_near_dedupe_spark.operators.decontamination import (
+        ngram_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return ngram_contamination(docs, bench, n=13)
+
+
+def _q_semantic_dedupe_lsh(spark, sf_dir):
+    """The 100 TB path of the SemDeDup composition: LSH-bucketed pair
+    generation (windowless hot-bucket caps) → shared CC → min-id keep.
+    Approximate candidate generation → rows-only; its exact twin
+    (semantic_dedupe) is the hash-verified query, and
+    tests/test_quality_semdedup.py pins exact/LSH cluster agreement on
+    separated clusters."""
+    from cpp_near_dedupe_spark.operators.embedding_ann import semantic_dedupe
+
+    return semantic_dedupe(
+        _aug_emb(spark, sf_dir), threshold=0.95, vec_col="v", method="lsh"
+    )
+
+
 def _q_ngram_jaccard_adjacent(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.ngram import ngram_jaccard_adjacent
 
@@ -1141,6 +1211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_adjacent": _q_ngram_jaccard_adjacent,
         # r5: C4/RefinedWeb corpus-wide repeated-line removal (full oracle)
         "repeated_line_removal": _q_repeated_line_removal,
+        # r5: Gopher-rule hard quality gate (integer arithmetic -> exact
+        # DuckDB mirror; corpus adorned so every rule is non-vacuous)
+        "gopher_quality": _q_gopher_quality,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
         # r5: the north-star pages input shape end-to-end (url identity)
         "pages_dedupe": _q_pages_dedupe,
@@ -1179,6 +1252,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_dupe_pairs": _q_embedding_dupe_pairs,
         "embedding_dupe_pairs_lsh": _q_embedding_dupe_pairs_lsh,
+        # r5: SemDeDup composition — exact pair set (hash-green above) →
+        # shared CC → min-id keep; full recursive-CTE oracle. The _lsh twin
+        # is the scale path (approximate candidates → rows-only; exact/LSH
+        # agreement pinned in tests/test_quality_semdedup.py)
+        "semantic_dedupe": _q_semantic_dedupe,
+        "semantic_dedupe_lsh": _q_semantic_dedupe_lsh,
+        # r5: benchmark decontamination — 13-gram cross-corpus collision
+        # (broadcast bench set, one doc-keyed shuffle); full oracle
+        "ngram_contamination": _q_ngram_contamination,
         "binary_features": _q_binary_features,
         # rows-only: the decode step is an HONEST stub (no media libs in
         # the container — operators/multimodal.py gates it); the Spark-side
@@ -1210,6 +1292,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKS = f"list_filter(string_split_regex(lower(text), '{_SPLIT}'), x -> x != '')"
+
+# Gopher-rule select list (operators/quality_rules.gopher_quality_sql):
+# the helper emits the seven integer-arithmetic rule expressions over
+# whatever relation exposes (doc_id, text); _TOKS binds to that text.
+from cpp_near_dedupe_spark.operators.quality_rules import gopher_quality_sql
+
+_GOPHER_SELECT = gopher_quality_sql(_TOKS)
 
 _LANG_SCORES = ", ".join(
     f"len(list_intersect(list_distinct({_TOKS}), "
@@ -1901,6 +1990,45 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(k.clean, '')) AS clean_md5
             FROM stats s LEFT JOIN kept k ON k.doc_id = s.doc_id
         """,
+        "gopher_quality": f"""
+            WITH gdocs AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 6 = 0
+                           THEN '- item one' || chr(10) || '- item two' || chr(10)
+                           ELSE '' END)
+                     || coalesce(text, '')
+                     || (CASE WHEN doc_id % 8 = 0 THEN ' ####' ELSE '' END)
+                     || (CASE WHEN doc_id % 9 = 0
+                           THEN chr(10) || 'to be continued...' || chr(10)
+                                || 'more soon...'
+                           ELSE '' END) AS text
+              FROM documents)
+            {_GOPHER_SELECT} FROM gdocs
+        """,
+        "ngram_contamination": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            cgrams AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 13
+                       THEN list_transform(range(1, len(w) - 11),
+                            i -> array_to_string(w[i:i+12], ' '))
+                       ELSE [] END) AS g
+              FROM toks),
+            bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM cgrams
+              WHERE doc_id % 17 = 0),
+            doc_g AS (SELECT doc_id, unnest(g) AS gram FROM cgrams),
+            hits AS (
+              SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+                     sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                         THEN 1 ELSE 0 END)::BIGINT AS n_hit
+              FROM doc_g GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+                   coalesce(h.n_hit, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
         "ngram_jaccard_adjacent": f"""
             WITH grams AS (
               SELECT doc_id AS a,
@@ -2188,6 +2316,34 @@ def oracle_sql() -> dict[str, str]:
                      round(list_cosine_similarity(x.v, y.v), 6) AS cosine
               FROM aug x JOIN aug y ON x.vec_id < y.vec_id)
             WHERE cosine >= 0.95
+        """,
+        "semantic_dedupe": """
+            WITH RECURSIVE base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(range(0, len(v)),
+                       i -> v[i + 1] + 0.05 * v[((i + 1) % len(v)) + 1]) AS v
+              FROM base WHERE vec_id % 5 = 0),
+            pairs AS (
+              SELECT a, b FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+                FROM aug x JOIN aug y ON x.vec_id < y.vec_id)
+              WHERE cosine >= 0.95),
+            sym AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach(node, r) AS (
+              SELECT a AS node, a AS r FROM sym
+              UNION
+              SELECT e.b AS node, reach.r FROM reach JOIN sym e ON e.a = reach.node),
+            comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT i.vec_id,
+                   coalesce(c.cluster_id, i.vec_id) AS cluster_id,
+                   (coalesce(c.cluster_id, i.vec_id) = i.vec_id) AS is_kept
+            FROM aug i LEFT JOIN comp c ON c.node = i.vec_id
         """,
         "binary_features": """
             SELECT doc_id,

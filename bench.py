@@ -91,6 +91,12 @@ def main() -> int:
         "pii_scrub",
         "domain_cap_sample",
         "crawl_delta",
+        # r5: Gopher hard quality gate (pure codegen projection) and the
+        # SemDeDup composition on its 100 TB path (LSH pair generation →
+        # CC → keep; the exact path is the driver's oracle query only)
+        "gopher_quality",
+        "semantic_dedupe_lsh",
+        "ngram_contamination",  # r5: 13-gram benchmark decontamination
     ]
     from cpp_near_dedupe_spark.cache import release_all
 

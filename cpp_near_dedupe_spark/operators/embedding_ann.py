@@ -502,3 +502,46 @@ def cosine_dupe_pairs_lsh(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def semantic_dedupe(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    **pair_kwargs,
+) -> DataFrame:
+    """SemDeDup-style embedding-level deduplication: cosine near-dup
+    pairs → transitive clusters → min-id representative per cluster.
+    Returns (id, cluster_id, is_kept) for EVERY input row (rows in no
+    pair are singleton keepers) — the embedding-space twin of the text
+    pipeline's cluster/resolve tail (operators/clustering.py +
+    operators/resolve.py semantics, same keep rule).
+
+    ``method``: 'lsh' (default — the 100 TB path: bucketed equi-join
+    pair generation with windowless hot-bucket caps) or 'exact' (the
+    guarded O(n²) oracle path used by the driver correctness query).
+    Extra kwargs flow to the pair generator. The CC rounds dominate at
+    scale exactly as in the text pipeline and share its one-job-per-
+    round, truncated-lineage engine.
+    """
+    from .clustering import connected_components
+
+    gen = cosine_dupe_pairs if method == "exact" else cosine_dupe_pairs_lsh
+    pairs = gen(
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        **pair_kwargs,
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    ids = embeddings.select(F.col(id_col))
+    joined = ids.join(comp, ids[id_col] == comp["id"], "left")
+    cluster = F.coalesce(comp["cluster_id"], ids[id_col])
+    return joined.select(
+        ids[id_col],
+        cluster.alias("cluster_id"),
+        (cluster == ids[id_col]).alias("is_kept"),
+    )
