@@ -574,6 +574,27 @@ def _q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(docs, bench, n=13)
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate detection (operators/dup_spans.py):
+    30-token windows (the corpus's 30-250-token docs make 50 vacuous at
+    this scale; production default is 50 per Lee et al.), hash ≥2
+    occurrences corpus-wide = duplicated, per-doc union-of-intervals
+    coverage. The corpus's constructed exact/near copies give non-zero
+    dup_frac rows; clean docs report 0."""
+    from cpp_near_dedupe_spark.operators.dup_spans import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), span_tokens=30)
+
+
+def _q_dedupe_report(spark, sf_dir):
+    """Cluster-shape telemetry (operators/resolve.py dedupe_report) over
+    the SQL-mode resolved relation — the queryable face of the
+    reference's end-of-run stats dump (O3)."""
+    from cpp_near_dedupe_spark.operators.resolve import dedupe_report
+
+    return dedupe_report(_q_lsh_sql_clusters(spark, sf_dir))
+
+
 def _q_semantic_dedupe_lsh(spark, sf_dir):
     """The 100 TB path of the SemDeDup composition: LSH-bucketed pair
     generation (windowless hot-bucket caps) → shared CC → min-id keep.
@@ -1261,6 +1282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: benchmark decontamination — 13-gram cross-corpus collision
         # (broadcast bench set, one doc-keyed shuffle); full oracle
         "ngram_contamination": _q_ngram_contamination,
+        # r5: exact-substring (span) duplicate coverage + cluster-shape
+        # telemetry; both full oracles
+        "duplicate_spans": _q_duplicate_spans,
+        "dedupe_report": _q_dedupe_report,
         "binary_features": _q_binary_features,
         # rows-only: the decode step is an HONEST stub (no media libs in
         # the container — operators/multimodal.py gates it); the Spark-side
@@ -2028,6 +2053,56 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0)::BIGINT AS n_hit,
                    coalesce(h.n_hit, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        "duplicate_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            sbase AS (
+              SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                     CASE WHEN len(w) >= 30
+                          THEN list_transform(range(1, len(w) - 28),
+                               i -> md5(array_to_string(w[i:i+29], ' ')))
+                          ELSE [] END AS h
+              FROM toks),
+            wins AS (
+              SELECT doc_id, u['pos'] AS pos, u['hh'] AS hh
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(h) + 1),
+                                  i -> {{'pos': i, 'hh': h[i]}})) AS u
+                    FROM sbase)),
+            freq AS (SELECT hh FROM wins GROUP BY hh HAVING count(*) >= 2),
+            dup AS (
+              SELECT w.doc_id, w.pos FROM wins w JOIN freq f ON f.hh = w.hh),
+            cov AS (
+              SELECT doc_id, count(DISTINCT tpos)::BIGINT AS covered_tokens
+              FROM (SELECT doc_id, unnest(range(pos, pos + 30)) AS tpos
+                    FROM dup)
+              GROUP BY doc_id),
+            dc AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+                   FROM dup GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens, len(b.h)::BIGINT AS n_windows,
+                   coalesce(dc.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   coalesce(cov.covered_tokens, 0)::BIGINT AS covered_tokens,
+                   round(CASE WHEN b.n_tokens > 0
+                         THEN coalesce(cov.covered_tokens, 0) * 1.0
+                              / b.n_tokens
+                         ELSE 0 END, 6) AS dup_frac
+            FROM sbase b
+            LEFT JOIN dc ON dc.doc_id = b.doc_id
+            LEFT JOIN cov ON cov.doc_id = b.doc_id
+        """,
+        "dedupe_report": f"""
+            WITH RECURSIVE {_SQLMODE_CTE},
+            resolved AS (
+              SELECT d.doc_id,
+                     coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+            sizes AS (
+              SELECT cluster_id, count(*)::BIGINT AS cluster_size
+              FROM resolved GROUP BY cluster_id)
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                   (cluster_size * count(*))::BIGINT AS n_docs,
+                   ((cluster_size - 1) * count(*))::BIGINT AS n_removed
+            FROM sizes GROUP BY cluster_size
         """,
         "ngram_jaccard_adjacent": f"""
             WITH grams AS (

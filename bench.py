@@ -97,6 +97,10 @@ def main() -> int:
         "gopher_quality",
         "semantic_dedupe_lsh",
         "ngram_contamination",  # r5: 13-gram benchmark decontamination
+        # r5: span-level exact-substring dedup — the heavy window explode
+        # is the cost driver to watch (dedupe_report stays out: it re-runs
+        # the whole SQL-mode pipeline already timed via lsh_clusters)
+        "duplicate_spans",
     ]
     from cpp_near_dedupe_spark.cache import release_all
 

@@ -75,3 +75,31 @@ def dedupe_output(docs: DataFrame, resolved: DataFrame, cfg: DedupeConfig) -> Da
     entire output stage as one anti-join."""
     dupes = duplicates(resolved, cfg).select(cfg.id_col)
     return docs.join(dupes, cfg.id_col, "left_anti")
+
+
+def dedupe_report(resolved: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cluster-size histogram over a resolved (id, cluster_id, is_kept)
+    relation: (cluster_size, n_clusters, n_docs, n_removed), ordered by
+    size. The queryable face of the reference's end-of-run stats dump
+    (`/root/reference/CPPDeduper/main.cpp` prints totals to stderr;
+    `_metrics` counters carry the per-stage numbers here — this operator
+    makes the cluster-shape distribution itself a first-class result).
+    Two hash aggregations, no window, no collect; at 10^11 docs both
+    shuffles are on cluster_id / cluster_size (bounded key space)."""
+    sizes = resolved.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
