@@ -75,6 +75,53 @@ def test_gopher_null_text(spark):
     assert out[1]["passes"] is False
 
 
+def test_gopher_matches_duckdb_on_adversarial_text(spark):
+    """One-job cross-engine parity pin on text far nastier than the
+    driver corpus: the Spark operator and its gopher_quality_sql mirror
+    must agree row-for-row on every rule boolean."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from cpp_near_dedupe_spark.operators.quality_rules import (
+        gopher_quality_filter,
+        gopher_quality_sql,
+    )
+
+    rng = random.Random(7)
+    pieces = [
+        "the", "be", "to", "#", "...", "-", "*", "\n", "  ", "a" * 40,
+        "word", "123", "x1", "naïve", "résumé", "-bullet", "* star",
+        "end...", "#tag", "", "\n\n", ". ", "mixed#", "..x",
+    ]
+    rows = [(0, None), (1, ""), (2, "#" * 100), (3, "...\n" * 50)]
+    for i in range(4, 200):
+        rows.append(
+            (i, " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 120))))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        gopher_quality_filter(df)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    toks = (
+        "list_filter(string_split_regex(lower(coalesce(text, '')), "
+        "'[^a-z0-9]+'), x -> x != '')"
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = (
+        con.execute(gopher_quality_sql(toks) + " FROM t ORDER BY doc_id")
+        .df()
+        .reset_index(drop=True)
+    )
+    for col in got.columns:
+        assert list(got[col]) == list(exp[col]), col
+
+
 # --- semantic_dedupe -------------------------------------------------------
 
 

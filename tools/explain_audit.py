@@ -106,6 +106,18 @@ def main() -> int:
             entry._q_domain_cap_sample(spark, sf_dir),
         "crawl_delta (two hash aggs + one full-outer equi-join, NO window)":
             entry._q_crawl_delta(spark, sf_dir),
+        # r5 quality/dedup additions: gopher must be a pure per-row
+        # projection (zero exchanges); decontamination's bench join must
+        # broadcast; duplicate_spans is two flat shuffles, NO window
+        "gopher_quality (pure projection, zero exchanges, no UDF)":
+            entry._q_gopher_quality(spark, sf_dir),
+        "ngram_contamination (broadcast bench set, one doc-keyed shuffle)":
+            entry._q_ngram_contamination(spark, sf_dir),
+        "duplicate_spans (window-hash explode + hash aggs, NO window fn)":
+            entry._q_duplicate_spans(spark, sf_dir),
+        "semantic_dedupe_lsh head (bucket equi-join pair gen; CC rounds "
+        "are per-round jobs behind localCheckpoint)":
+            entry._q_semantic_dedupe_lsh(spark, sf_dir),
     }
     out = ["# Physical plan audit (generated by tools/explain_audit.py)\n"]
     for title, df in plans.items():
