@@ -574,6 +574,61 @@ def _q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(docs, bench, n=13)
 
 
+def _web_pages(spark, sf_dir):
+    """Deterministic crawl fixture for the composed pipeline (mirrored
+    expression-for-expression by the wp_* oracle CTEs): urls collide mod
+    450 (crawl-identity dupes) and carry tracking params for every 5th+1
+    doc; html wraps the text in markup with a script block; text is
+    adorned with an email (every 5th — pii stage) and a shared newsletter
+    sentence (every 3rd — boilerplate stage)."""
+    did = F.col("doc_id")
+    adorned = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0, F.lit(". subscribe to our newsletter today")
+        ).otherwise(F.lit("")),
+    )
+    url = F.concat(
+        F.lit("https://d"),
+        ((did % 450) % 10).cast("string"),
+        F.lit(".example.com/p/"),
+        (did % 450).cast("string"),
+        F.when(did % 5 == 1, F.lit("?utm_source=x#frag")).otherwise(
+            F.lit("")
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1;</script></head><body><p>"),
+        adorned,
+        F.lit("</p></body></html>"),
+    ).cast("binary")
+    return _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+
+
+def _q_web_clean_report(spark, sf_dir):
+    """The crawl-to-clean-corpus composition (plans/web_pipeline.py):
+    url dedupe → extract → quality → pii → boilerplate → near-dedupe →
+    decontaminate, reported as per-stage surviving/changed counts. Every
+    stage is an individually hash-green operator; this query hash-checks
+    the COMPOSITION against a single DuckDB statement replaying all
+    seven stages."""
+    from cpp_near_dedupe_spark.plans.web_pipeline import clean_corpus_report
+
+    pages = _web_pages(spark, sf_dir)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 17 == 0).select(
+        "text"
+    )
+    return clean_corpus_report(spark, pages, bench)
+
+
 def _q_duplicate_spans(spark, sf_dir):
     """Exact-substring duplicate detection (operators/dup_spans.py):
     30-token windows (the corpus's 30-250-token docs make 50 vacuous at
@@ -1286,6 +1341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # telemetry; both full oracles
         "duplicate_spans": _q_duplicate_spans,
         "dedupe_report": _q_dedupe_report,
+        # r5: the composed crawl-to-clean-corpus pipeline (7 stages, one
+        # oracle statement replaying the whole composition)
+        "web_clean_report": _q_web_clean_report,
         "binary_features": _q_binary_features,
         # rows-only: the decode step is an HONEST stub (no media libs in
         # the container — operators/multimodal.py gates it); the Spark-side
@@ -1321,7 +1379,13 @@ _TOKS = f"list_filter(string_split_regex(lower(text), '{_SPLIT}'), x -> x != '')
 # Gopher-rule select list (operators/quality_rules.gopher_quality_sql):
 # the helper emits the seven integer-arithmetic rule expressions over
 # whatever relation exposes (doc_id, text); _TOKS binds to that text.
-from cpp_near_dedupe_spark.operators.quality_rules import gopher_quality_sql
+from cpp_near_dedupe_spark.operators.quality_rules import (  # noqa: E402
+    gopher_passes_sql,
+    gopher_quality_sql,
+)
+from cpp_near_dedupe_spark.operators.pii import (  # noqa: E402
+    pii_scrub_expr_sql as _pii_scrub_expr_sql,
+)
 
 _GOPHER_SELECT = gopher_quality_sql(_TOKS)
 
@@ -1500,12 +1564,13 @@ url_canon AS (
 """
 
 
-def _canon_from_sql(src: str) -> str:
-    """DuckDB derived table: (text, canonical_url) from a (url, text)
+def _canon_from_sql(src: str, carry: str = "text") -> str:
+    """DuckDB derived table: ({carry}, canonical_url) from a (url, {carry})
     relation — the same canonicalization algebra as ``_URL_CTE``, reused
-    by the crawl-delta oracle over each snapshot."""
+    by the crawl-delta oracle over each snapshot and the web-pipeline
+    oracle (``carry='html'``)."""
     return f"""(
-  SELECT text, concat(
+  SELECT {carry}, concat(
     regexp_replace(regexp_replace(
       lower(regexp_extract(u, '^([^/]*//[^/?]*)', 1)), ':443$', ''),
       ':80$', ''),
@@ -1515,13 +1580,13 @@ def _canon_from_sql(src: str) -> str:
       '/$', ''),
     CASE WHEN kept != '' THEN concat('?', kept) ELSE '' END) AS canonical_url
   FROM (
-    SELECT u, text,
+    SELECT u, {carry},
            array_to_string(list_sort(list_filter(
              string_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
              x -> x != '' AND NOT (starts_with(x, 'utm_')
                   OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
                   OR starts_with(x, 'ref=')))), '&') AS kept
-    FROM (SELECT regexp_replace(url, '#.*$', '') AS u, text FROM {src})))"""
+    FROM (SELECT regexp_replace(url, '#.*$', '') AS u, {carry} FROM {src})))"""
 
 # mirror of _chain_docs: prefix-truncated copies (4/5 and 13/20 of tokens) of
 # every 5th doc with 30-250 tokens — a~b~c jaccard chains with no a~c edge,
@@ -2089,6 +2154,141 @@ def oracle_sql() -> dict[str, str]:
             FROM sbase b
             LEFT JOIN dc ON dc.doc_id = b.doc_id
             LEFT JOIN cov ON cov.doc_id = b.doc_id
+        """,
+        "web_clean_report": f"""
+            WITH RECURSIVE wp_adorn AS (
+              SELECT doc_id,
+                     concat(coalesce(text, ''),
+                       CASE WHEN doc_id % 5 = 0
+                            THEN concat(' contact u',
+                                        cast(doc_id AS VARCHAR),
+                                        '@example.com') ELSE '' END,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '. subscribe to our newsletter today'
+                            ELSE '' END) AS atext
+              FROM documents),
+            wp_pages AS (
+              SELECT concat('https://d',
+                            cast((doc_id % 450) % 10 AS VARCHAR),
+                            '.example.com/p/',
+                            cast(doc_id % 450 AS VARCHAR),
+                            CASE WHEN doc_id % 5 = 1
+                                 THEN '?utm_source=x#frag' ELSE '' END)
+                       AS url,
+                     encode(concat(
+                       '<html><head><script>var x = 1;</script>',
+                       '</head><body><p>', atext,
+                       '</p></body></html>')) AS html
+              FROM wp_adorn),
+            wp_canon AS (
+              SELECT canonical_url, html
+              FROM {_canon_from_sql("wp_pages", "html")}),
+            wp_s1 AS (
+              SELECT canonical_url,
+                     arg_min(html, md5(decode(html))) AS html
+              FROM wp_canon GROUP BY canonical_url),
+            wp_s2 AS (
+              SELECT canonical_url, html,
+                     {_HTML_EXTRACT_SQL} AS text
+              FROM wp_s1),
+            wp_s3 AS (
+              SELECT canonical_url, text FROM wp_s2
+              WHERE {gopher_passes_sql(_TOKS)}),
+            wp_s4 AS (
+              SELECT canonical_url,
+                     {_pii_scrub_expr_sql("text")} AS text
+              FROM wp_s3),
+            wp_lines AS (
+              SELECT canonical_url,
+                     u['idx'] AS idx, u['line'] AS line
+              FROM (SELECT canonical_url,
+                           unnest(list_transform(
+                             range(1, len(pieces) + 1),
+                             i -> {{'idx': i, 'line': pieces[i]}})) AS u
+                    FROM (SELECT canonical_url,
+                                 string_split(text, '. ') AS pieces
+                          FROM wp_s4))),
+            wp_boiler AS (
+              SELECT md5(line) AS h FROM wp_lines
+              GROUP BY 1 HAVING count(DISTINCT canonical_url) >= 10),
+            wp_tagged AS (
+              SELECT canonical_url, idx, line,
+                     (md5(line) IN (SELECT h FROM wp_boiler)) AS is_b
+              FROM wp_lines),
+            wp_keptx AS (
+              SELECT canonical_url,
+                     string_agg(line, '. ' ORDER BY idx) AS ctext
+              FROM wp_tagged WHERE NOT is_b GROUP BY canonical_url),
+            wp_boilhit AS (
+              SELECT canonical_url, max(is_b) AS hit
+              FROM wp_tagged GROUP BY canonical_url),
+            wp_s5 AS (
+              SELECT s.canonical_url,
+                     coalesce(k.ctext, '') AS text, b.hit AS boiler_hit
+              FROM wp_s4 s
+              LEFT JOIN wp_keptx k USING (canonical_url)
+              JOIN wp_boilhit b USING (canonical_url)),
+            wp_docs AS (
+              SELECT canonical_url AS doc_id, text FROM wp_s5),
+            {_sqlmode_cte("wp_docs")},
+            wp_s6 AS (
+              SELECT d.doc_id AS canonical_url, d.text
+              FROM wp_docs d LEFT JOIN comp c ON c.node = d.doc_id
+              WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id),
+            wp_bgrams AS (
+              SELECT DISTINCT unnest(g) AS gram FROM (
+                SELECT list_distinct(CASE WHEN len(w) >= 13
+                  THEN list_transform(range(1, len(w) - 11),
+                       i -> array_to_string(w[i:i+12], ' '))
+                  ELSE [] END) AS g
+                FROM (SELECT {_TOKS} AS w FROM documents
+                      WHERE doc_id % 17 = 0))),
+            wp_cgrams AS (
+              SELECT canonical_url,
+                     list_distinct(CASE WHEN len(w) >= 13
+                       THEN list_transform(range(1, len(w) - 11),
+                            i -> array_to_string(w[i:i+12], ' '))
+                       ELSE [] END) AS g
+              FROM (SELECT canonical_url, {_TOKS} AS w FROM wp_s6)),
+            wp_contam AS (
+              SELECT DISTINCT canonical_url
+              FROM (SELECT canonical_url, unnest(g) AS gram FROM wp_cgrams)
+              WHERE gram IN (SELECT gram FROM wp_bgrams)),
+            wp_s7 AS (
+              SELECT canonical_url FROM wp_s6
+              WHERE canonical_url NOT IN
+                    (SELECT canonical_url FROM wp_contam))
+            SELECT 0::BIGINT AS stage_ord, 'input' AS stage,
+                   (SELECT count(*) FROM wp_pages)::BIGINT AS n_docs,
+                   0::BIGINT AS n_changed
+            UNION ALL SELECT 1::BIGINT, 'url_dedupe',
+                   (SELECT count(*) FROM wp_s1)::BIGINT,
+                   ((SELECT count(*) FROM wp_pages)
+                    - (SELECT count(*) FROM wp_s1))::BIGINT
+            UNION ALL SELECT 2::BIGINT, 'html_extract',
+                   (SELECT count(*) FROM wp_s2)::BIGINT,
+                   (SELECT count(*) FROM wp_s2
+                    WHERE text != decode(html))::BIGINT
+            UNION ALL SELECT 3::BIGINT, 'quality_gate',
+                   (SELECT count(*) FROM wp_s3)::BIGINT,
+                   ((SELECT count(*) FROM wp_s2)
+                    - (SELECT count(*) FROM wp_s3))::BIGINT
+            UNION ALL SELECT 4::BIGINT, 'pii_scrub',
+                   (SELECT count(*) FROM wp_s4)::BIGINT,
+                   (SELECT count(*) FROM wp_s4 j
+                    JOIN wp_s3 s USING (canonical_url)
+                    WHERE j.text != s.text)::BIGINT
+            UNION ALL SELECT 5::BIGINT, 'boilerplate',
+                   (SELECT count(*) FROM wp_s5)::BIGINT,
+                   (SELECT count(*) FROM wp_s5 WHERE boiler_hit)::BIGINT
+            UNION ALL SELECT 6::BIGINT, 'near_dedupe',
+                   (SELECT count(*) FROM wp_s6)::BIGINT,
+                   ((SELECT count(*) FROM wp_s5)
+                    - (SELECT count(*) FROM wp_s6))::BIGINT
+            UNION ALL SELECT 7::BIGINT, 'decontaminate',
+                   (SELECT count(*) FROM wp_s7)::BIGINT,
+                   ((SELECT count(*) FROM wp_s6)
+                    - (SELECT count(*) FROM wp_s7))::BIGINT
         """,
         "dedupe_report": f"""
             WITH RECURSIVE {_SQLMODE_CTE},

@@ -101,6 +101,8 @@ def main() -> int:
         # is the cost driver to watch (dedupe_report stays out: it re-runs
         # the whole SQL-mode pipeline already timed via lsh_clusters)
         "duplicate_spans",
+        # r5: the 7-stage crawl-to-clean-corpus composition end-to-end
+        "web_clean_report",
     ]
     from cpp_near_dedupe_spark.cache import release_all
 

@@ -44,6 +44,15 @@ _PASSES = (
 )
 
 
+def pii_scrub_expr(text_col: str = "text"):
+    """Scrubbed-text Column (all three passes, in order) — the
+    expression-level face for pipeline composition."""
+    scrubbed = F.coalesce(F.col(text_col), F.lit(""))
+    for pat, token, _ in _PASSES:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return scrubbed
+
+
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -65,18 +74,25 @@ def pii_scrub(
     )
 
 
+def pii_scrub_expr_sql(text_sql: str = "text") -> str:
+    """DuckDB twin of ``pii_scrub_expr`` (scrubbed-text expression)."""
+    scrubbed = f"coalesce({text_sql}, '')"
+    for pat, token, _ in _PASSES:
+        pat_sql = pat.replace("'", "''")
+        scrubbed = f"regexp_replace({scrubbed}, '{pat_sql}', '{token}', 'g')"
+    return scrubbed
+
+
 def pii_scrub_sql(id_sql: str = "doc_id", text_sql: str = "text") -> str:
     """DuckDB mirror of ``pii_scrub`` (SELECT-list fragment source)."""
     raw = f"coalesce({text_sql}, '')"
-    scrubbed = raw
     counts = []
     for pat, token, name in _PASSES:
         pat_sql = pat.replace("'", "''")
-        scrubbed = f"regexp_replace({scrubbed}, '{pat_sql}', '{token}', 'g')"
         counts.append(
             f"len(regexp_extract_all({raw}, '{pat_sql}'))::BIGINT AS {name}"
         )
     return (
-        f"SELECT {id_sql}, {scrubbed} AS text_scrubbed, "
+        f"SELECT {id_sql}, {pii_scrub_expr_sql(text_sql)} AS text_scrubbed, "
         + ", ".join(counts)
     )

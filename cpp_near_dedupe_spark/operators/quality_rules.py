@@ -41,14 +41,10 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _LETTERS = "abcdefghijklmnopqrstuvwxyz"
 
 
-def gopher_quality_filter(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, n_words, ok_* rule booleans, passes) per document."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    # same tokenizer as text_analysis.words_col, over the COALESCED text so
-    # a NULL document scores (0 words, fails) instead of all-NULL rules
-    w = F.array_remove(F.split(F.lower(t), _WORD_SPLIT), "")
+def _rule_columns(t, w):
+    """The seven rule booleans over a coalesced text column ``t`` and its
+    token array ``w`` (shared by the filter and the composition
+    predicate)."""
     n_words = F.size(w).cast("long")
     word_chars = F.aggregate(
         F.transform(w, F.length), F.lit(0), lambda a, x: a + x
@@ -97,6 +93,33 @@ def gopher_quality_filter(
         "ok_alpha_words": (n_words > 0) & (alpha_cnt * 5 >= 4 * n_words),
         "ok_stopwords": stop_hits >= 2,
     }
+    return n_words, ok
+
+
+def _coalesced(text_col: str):
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # same tokenizer as text_analysis.words_col, over the COALESCED text so
+    # a NULL document scores (0 words, fails) instead of all-NULL rules
+    w = F.array_remove(F.split(F.lower(t), _WORD_SPLIT), "")
+    return t, w
+
+
+def gopher_passes(text_col: str = "text"):
+    """Single boolean Column: ALL rules hold — the composition predicate
+    (plans/web_pipeline filters on it without materializing the per-rule
+    booleans)."""
+    _, ok = _rule_columns(*_coalesced(text_col))
+    passes = None
+    for c in ok.values():
+        passes = c if passes is None else (passes & c)
+    return passes
+
+
+def gopher_quality_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, ok_* rule booleans, passes) per document."""
+    n_words, ok = _rule_columns(*_coalesced(text_col))
     passes = None
     for c in ok.values():
         passes = c if passes is None else (passes & c)
@@ -108,12 +131,10 @@ def gopher_quality_filter(
     )
 
 
-def gopher_quality_sql(
-    toks_sql: str, id_sql: str = "doc_id", text_sql: str = "text"
-) -> str:
-    """DuckDB mirror (SELECT over a relation exposing ``{id,text}``);
-    ``toks_sql`` is the caller's tokenizer expression (the `_TOKS` twin
-    of ``words_col``)."""
+def _rules_sql(toks_sql: str, text_sql: str = "text") -> tuple[str, dict]:
+    """(n_words expr, {rule name: boolean expr}) — the DuckDB twin of
+    ``_rule_columns``; ``toks_sql`` is the caller's tokenizer expression
+    (the `_TOKS` twin of ``words_col``)."""
     t = f"coalesce({text_sql}, '')"
     nw = f"len({toks_sql})::BIGINT"
     wc = f"coalesce(list_sum(list_transform({toks_sql}, x -> length(x))), 0)::BIGINT"
@@ -141,6 +162,21 @@ def gopher_quality_sql(
         "ok_alpha_words": f"({nw} > 0 AND {ac} * 5 >= 4 * {nw})",
         "ok_stopwords": f"({sh} >= 2)",
     }
+    return nw, ok
+
+
+def gopher_passes_sql(toks_sql: str, text_sql: str = "text") -> str:
+    """Single boolean expression: ALL rules hold (the SQL twin of
+    ``gopher_passes`` for pipeline-composition oracles)."""
+    _, ok = _rules_sql(toks_sql, text_sql)
+    return "(" + " AND ".join(ok.values()) + ")"
+
+
+def gopher_quality_sql(
+    toks_sql: str, id_sql: str = "doc_id", text_sql: str = "text"
+) -> str:
+    """DuckDB mirror (SELECT over a relation exposing ``{id,text}``)."""
+    nw, ok = _rules_sql(toks_sql, text_sql)
     cols = ", ".join(f"{expr} AS {name}" for name, expr in ok.items())
     allok = " AND ".join(ok.values())
     return (

@@ -164,13 +164,15 @@ def remove_repeated_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
+    emit_text: bool = False,
 ) -> DataFrame:
     """Corpus-wide repeated-line removal — the C4/RefinedWeb boilerplate
     filter: a line occurring in ≥ ``min_docs`` DISTINCT documents
     (navigation chrome, cookie banners, "subscribe" calls at web scale)
     is dropped from every document; remaining lines keep their original
     order. Returns (id, n_lines, n_removed, clean_md5) — the cleaned text
-    travels as its md5 so result rows stay fixed-width.
+    travels as its md5 so result rows stay fixed-width (``emit_text=True``
+    appends the full ``clean_text`` for pipeline composition).
 
     Scale shape: one ``posexplode`` pass over the corpus (inherent — the
     statistic is corpus-global), line identity as ``md5(line)`` so the
@@ -184,7 +186,11 @@ def remove_repeated_lines(
     string_agg ORDER BY idx)."""
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("idx", "line"),
+        # \Q..\E: ``sep`` is a LITERAL separator — F.split takes a Java
+        # regex, so an unquoted '. ' would split on any-char-plus-space
+        F.posexplode(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+        ).alias("idx", "line"),
     ).withColumn("h", F.md5("line"))
     boiler = (
         lines.groupBy("h")
@@ -212,9 +218,15 @@ def remove_repeated_lines(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
     )
-    return stats.join(kept, id_col, "left").select(
+    out_cols = [
         F.col(id_col),
-        "n_lines",
-        "n_removed",
+        F.col("n_lines"),
+        F.col("n_removed"),
         F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_md5"),
-    )
+    ]
+    if emit_text:
+        # full cleaned text for pipeline composition (plans/web_pipeline
+        # feeds it to downstream dedupe); the default stays md5-only so
+        # the driver result rows are fixed-width
+        out_cols.append(F.coalesce("_clean", F.lit("")).alias("clean_text"))
+    return stats.join(kept, id_col, "left").select(*out_cols)
