@@ -545,6 +545,36 @@ def _q_gopher_quality(spark, sf_dir):
     return gopher_quality_filter(_gopher_docs(spark, sf_dir))
 
 
+def _repetition_docs(spark, sf_dir):
+    """documents adorned so every Gopher §A1.2 repetition rule is
+    non-vacuous: every 5th doc gains three identical lines (dup-line
+    rules), every 7th a 12×-repeated phrase (top-/dup-n-gram rules), every
+    11th a duplicated paragraph. Mirrored expression-for-expression by the
+    oracle's inline source subquery."""
+    did = F.col("doc_id")
+    text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 5 == 0, F.lit("\nrepeated line\nrepeated line\nrepeated line")
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("\n" + "lorem ipsum dolor sit amet " * 12)).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 11 == 0, F.lit("\n\nsame para\n\nsame para")).otherwise(
+            F.lit("")
+        ),
+    )
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def _q_gopher_repetition(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.quality_repetition import (
+        gopher_repetition_filter,
+    )
+
+    return gopher_repetition_filter(_repetition_docs(spark, sf_dir))
+
+
 def _q_semantic_dedupe(spark, sf_dir):
     """SemDeDup composition over the augmented embedding corpus: the
     hash-verified exact pair set (embedding_dupe_pairs) → shared CC →
@@ -1290,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: Gopher-rule hard quality gate (integer arithmetic -> exact
         # DuckDB mirror; corpus adorned so every rule is non-vacuous)
         "gopher_quality": _q_gopher_quality,
+        "gopher_repetition": _q_gopher_repetition,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
         # r5: the north-star pages input shape end-to-end (url identity)
         "pages_dedupe": _q_pages_dedupe,
@@ -1388,6 +1419,33 @@ from cpp_near_dedupe_spark.operators.pii import (  # noqa: E402
 )
 
 _GOPHER_SELECT = gopher_quality_sql(_TOKS)
+
+
+def _gopher_repetition_oracle() -> str:
+    """Gopher §A1.2 repetition oracle: quality_repetition.gopher_repetition_sql
+    over the inline subquery mirroring ``_repetition_docs``'s adornment
+    (the helper emits its own WITH chain, so the source is a subquery, not
+    an outer CTE)."""
+    from cpp_near_dedupe_spark.operators.quality_repetition import (
+        gopher_repetition_sql,
+    )
+
+    rdocs = """(
+      SELECT doc_id,
+             coalesce(text, '')
+             || (CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || 'repeated line' || chr(10) || 'repeated line'
+                        || chr(10) || 'repeated line'
+                   ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0
+                   THEN chr(10) || repeat('lorem ipsum dolor sit amet ', 12)
+                   ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 0
+                   THEN chr(10) || chr(10) || 'same para' || chr(10) || chr(10)
+                        || 'same para'
+                   ELSE '' END) AS text
+      FROM documents)"""
+    return gopher_repetition_sql(_TOKS, source=rdocs)
 
 _LANG_SCORES = ", ".join(
     f"len(list_intersect(list_distinct({_TOKS}), "
@@ -2095,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             {_GOPHER_SELECT} FROM gdocs
         """,
+        "gopher_repetition": _gopher_repetition_oracle(),
         "ngram_contamination": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
             cgrams AS (

@@ -95,6 +95,9 @@ def main() -> int:
         # SemDeDup composition on its 100 TB path (LSH pair generation →
         # CC → keep; the exact path is the driver's oracle query only)
         "gopher_quality",
+        # r5: Gopher §A1.2 per-doc repetition rules (pure projection; the
+        # 9 in-row array_sort+aggregate passes are the cost to watch)
+        "gopher_repetition",
         "semantic_dedupe_lsh",
         "ngram_contamination",  # r5: 13-gram benchmark decontamination
         # r5: span-level exact-substring dedup — the heavy window explode
