@@ -575,6 +575,36 @@ def _q_gopher_repetition(spark, sf_dir):
     return gopher_repetition_filter(_repetition_docs(spark, sf_dir))
 
 
+def _c4_docs(spark, sf_dir):
+    """documents adorned so every C4 rule is non-vacuous: a surviving
+    sentence line on every doc, a too-short line (every 4th), a javascript
+    line (every 6th), lorem ipsum (every 13th), a brace line (every 17th).
+    Mirrored expression-for-expression by the oracle CTE."""
+    did = F.col("doc_id")
+    text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\nThis line survives the filter.\nAnd so does this one!"
+              "\nA third keeps the page alive."),
+        F.when(did % 4 == 0, F.lit("\nshort line")).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0, F.lit("\nEnable JavaScript to view this page.")
+        ).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("\nLorem Ipsum dolor sit amet.")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 17 == 0, F.lit("\nfunction() { return 1; }")).otherwise(
+            F.lit("")
+        ),
+    )
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def _q_c4_clean(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.c4_filters import c4_clean
+
+    return c4_clean(_c4_docs(spark, sf_dir))
+
+
 def _q_semantic_dedupe(spark, sf_dir):
     """SemDeDup composition over the augmented embedding corpus: the
     hash-verified exact pair set (embedding_dupe_pairs) → shared CC →
@@ -1321,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB mirror; corpus adorned so every rule is non-vacuous)
         "gopher_quality": _q_gopher_quality,
         "gopher_repetition": _q_gopher_repetition,
+        "c4_clean": _q_c4_clean,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
         # r5: the north-star pages input shape end-to-end (url identity)
         "pages_dedupe": _q_pages_dedupe,
@@ -1446,6 +1477,32 @@ def _gopher_repetition_oracle() -> str:
                    ELSE '' END) AS text
       FROM documents)"""
     return gopher_repetition_sql(_TOKS, source=rdocs)
+
+
+def _c4_clean_oracle() -> str:
+    """C4 line/page filter oracle over the inline subquery mirroring
+    ``_c4_docs``'s adornment."""
+    from cpp_near_dedupe_spark.operators.c4_filters import c4_clean_sql
+
+    cdocs = """(
+      SELECT doc_id,
+             coalesce(text, '')
+             || chr(10) || 'This line survives the filter.'
+             || chr(10) || 'And so does this one!'
+             || chr(10) || 'A third keeps the page alive.'
+             || (CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || 'short line' ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0
+                   THEN chr(10) || 'Enable JavaScript to view this page.'
+                   ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 0
+                   THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+                   ELSE '' END)
+             || (CASE WHEN doc_id % 17 = 0
+                   THEN chr(10) || 'function() { return 1; }'
+                   ELSE '' END) AS text
+      FROM documents)"""
+    return c4_clean_sql(source=cdocs)
 
 _LANG_SCORES = ", ".join(
     f"len(list_intersect(list_distinct({_TOKS}), "
@@ -2154,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
             {_GOPHER_SELECT} FROM gdocs
         """,
         "gopher_repetition": _gopher_repetition_oracle(),
+        "c4_clean": _c4_clean_oracle(),
         "ngram_contamination": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
             cgrams AS (

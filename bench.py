@@ -98,6 +98,7 @@ def main() -> int:
         # r5: Gopher §A1.2 per-doc repetition rules (pure projection; the
         # 9 in-row array_sort+aggregate passes are the cost to watch)
         "gopher_repetition",
+        "c4_clean",  # r5: C4 line/page filters (pure codegen projection)
         "semantic_dedupe_lsh",
         "ngram_contamination",  # r5: 13-gram benchmark decontamination
         # r5: span-level exact-substring dedup — the heavy window explode
