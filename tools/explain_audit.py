@@ -111,6 +111,11 @@ def main() -> int:
         # broadcast; duplicate_spans is two flat shuffles, NO window
         "gopher_quality (pure projection, zero exchanges, no UDF)":
             entry._q_gopher_quality(spark, sf_dir),
+        "gopher_repetition (JVM split + ONE ArrowEvalPython kernel, "
+        "zero exchanges, no window)":
+            entry._q_gopher_repetition(spark, sf_dir),
+        "c4_clean (pure projection, zero exchanges, no UDF)":
+            entry._q_c4_clean(spark, sf_dir),
         "ngram_contamination (broadcast bench set, one doc-keyed shuffle)":
             entry._q_ngram_contamination(spark, sf_dir),
         "duplicate_spans (window-hash explode + hash aggs, NO window fn)":
