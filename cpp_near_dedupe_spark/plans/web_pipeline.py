@@ -23,7 +23,14 @@ lang)``:
 
 Every stage is an already-hash-verified operator; the composition itself
 is verified by the ``web_clean_report`` driver query whose DuckDB oracle
-replays all seven stages in one SQL statement. The report counts rows
+replays all seven stages in one SQL statement. Two further hash-verified
+gates slot in after stage 2 when a deployment wants them — C4 line/page
+filtering (``operators/c4_filters.c4_clean``; its ``clean_text`` replaces
+``text`` and ``keep_page`` filters) and the Gopher repetition gate
+(``operators/quality_repetition.gopher_repetition_filter``; filter on
+``passes_repetition``) — both per-row maps that fuse into the same
+projection stage, kept out of the default chain so the seven-stage
+oracle pin stays byte-stable. The report counts rows
 surviving each stage plus rows the stage changed or removed — the
 numbers an operator watches on a 100 TB run (the `_metrics` counters
 carry the same story per partition).
