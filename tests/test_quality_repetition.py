@@ -151,3 +151,43 @@ def test_matches_duckdb_on_adversarial_text(spark):
     assert sorted(got.columns) == sorted(exp.columns)
     for col in got.columns:
         assert [*map(int, got[col])] == [*map(int, exp[col])], col
+
+
+# --- kernel-level property tests (no Spark session needed) ----------------
+
+
+def test_kernel_ngram_stats_match_bruteforce():
+    """_ngram_stats (interned-id tuples + prefix sums) equals the obvious
+    string-ngram Counter formulation on random token streams."""
+    import random
+    from collections import Counter
+
+    from cpp_near_dedupe_spark.operators.quality_repetition import _ngram_stats
+
+    rng = random.Random(3)
+    vocab = ["a", "bb", "ccc", "dddd", "e", "ff", "naïve"]
+    for trial in range(200):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        for n in (2, 3, 5, 10):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            freq = Counter(grams)
+            top = max((c * len(g) for g, c in freq.items()), default=0)
+            dup = sum(c * len(g) for g, c in freq.items() if c >= 2)
+            assert _ngram_stats(toks, n) == (top, dup), (trial, n, toks)
+
+
+def test_kernel_seg_counts_match_bruteforce():
+    import random
+    from collections import Counter
+
+    from cpp_near_dedupe_spark.operators.quality_repetition import _seg_counts
+
+    rng = random.Random(9)
+    vocab = ["", "x", "line one", "line two", "  ", "same"]
+    for _ in range(200):
+        arr = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        freq = Counter(arr)
+        n, dup_cnt, dup_chars = _seg_counts(arr)
+        assert n == len(arr)
+        assert dup_cnt == len(arr) - len(freq)
+        assert dup_chars == sum((c - 1) * len(s) for s, c in freq.items() if c > 1)
