@@ -184,6 +184,26 @@ def _q_jaro_winkler_adjacent(spark, sf_dir):
     return jaro_winkler_adjacent(_docs(spark, sf_dir), n_chars=64)
 
 
+def _q_edit_distance_adjacent(spark, sf_dir):
+    """Levenshtein distance + normalized similarity over adjacent doc
+    prefixes (operators/string_sim.levenshtein_adjacent) — the third
+    linkage string measure next to JW and n-gram Jaccard. Both engines
+    run the classic DP built-in, so the oracle is a direct mirror."""
+    from cpp_near_dedupe_spark.operators.string_sim import levenshtein_adjacent
+
+    return levenshtein_adjacent(_docs(spark, sf_dir), n_chars=64)
+
+
+def _q_tfidf_cosine_adjacent(spark, sf_dir):
+    """TF-IDF cosine between adjacent docs (operators/tfidf.py): sparse
+    lexical similarity with smoothed idf, all groupBy/join on the
+    posting-list relation. Oracle replays tf/df/norm/dot in DuckDB over
+    the same shared tokenizer."""
+    from cpp_near_dedupe_spark.operators.tfidf import tfidf_cosine_adjacent
+
+    return tfidf_cosine_adjacent(_docs(spark, sf_dir))
+
+
 def _q_bpe_token_stats(spark, sf_dir):
     """BPE-ish pre-tokenizer counts (operators/text_analysis.py
     bpe_token_stats): letter-run / digit-run / other-run pieces per doc —
@@ -275,6 +295,23 @@ def _q_er_golden_records(spark, sf_dir):
     )
 
     return er_golden_records(_er_records(spark, sf_dir))
+
+
+def _q_er_sn_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking over the dirty-records name order
+    (operators/sorted_neighborhood.py): the classic Hernández-Stolfo
+    complement to equi-key blocking, built on the distributed two-phase
+    rank (no single-task global window). Oracle = row_number self-join
+    at rank distance < w."""
+    from cpp_near_dedupe_spark.operators.entity_resolution import er_sn_pairs
+
+    return er_sn_pairs(_er_records(spark, sf_dir))
+
+
+def _q_er_sn_matches(spark, sf_dir):
+    from cpp_near_dedupe_spark.operators.entity_resolution import er_sn_matches
+
+    return er_sn_matches(_er_records(spark, sf_dir))
 
 
 def _q_pages_dedupe(spark, sf_dir):
@@ -1353,6 +1390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "c4_clean": _q_c4_clean,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
+        # r5b: two more classic pairwise similarity measures, both full
+        # oracles — edit distance (built-in DP both engines) and TF-IDF
+        # cosine (posting-list groupBy/join, smoothed idf)
+        "edit_distance_adjacent": _q_edit_distance_adjacent,
+        "tfidf_cosine_adjacent": _q_tfidf_cosine_adjacent,
         # r5: the north-star pages input shape end-to-end (url identity)
         "pages_dedupe": _q_pages_dedupe,
         "pages_dedupe_first_seen": _q_pages_dedupe_first_seen,
@@ -1373,6 +1415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_matches": _q_er_matches,
         "er_clusters": _q_er_clusters,
         "er_golden_records": _q_er_golden_records,
+        # r5b: sorted-neighborhood blocking (the classic non-key ER
+        # blocking strategy; distributed rank, no global window) — pairs
+        # and the end-to-end match set, both full DuckDB oracles
+        "er_sn_pairs": _q_er_sn_pairs,
+        "er_sn_matches": _q_er_sn_matches,
         # simhash: the production fingerprint is XXH64-based (rows-only,
         # same reason as the parity chain); simhash_sql* is its md5/60-bit
         # twin with the identical vote/sign/pack construction, fully
@@ -2628,6 +2675,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.a AS a, l.a + 1 AS b,
                    round(jaro_winkler_similarity(l.s, r.s), 6) AS jw
             FROM p l JOIN p r ON r.a = l.a + 1
+        """,
+        # r5b: sorted-neighborhood oracles — the definitional formulation
+        # (one global row_number + rank-distance self-join). The Spark
+        # side must produce the same pair set from its distributed
+        # rank + bucket-equi-join plan, so hash-green here verifies the
+        # two-phase rank AND the adjacent-bucket pairing at once. w = 8
+        # (operators/entity_resolution.DEFAULT_SN_WINDOW), threshold and
+        # score blend identical to the er_matches oracle.
+        "er_sn_pairs": f"""
+            WITH RECURSIVE {_ER_CTE},
+            sn_ranked AS (
+              SELECT rec_id, row_number() OVER (ORDER BY name, rec_id) AS rnk
+              FROM er_recs)
+            SELECT least(l.rec_id, r.rec_id) AS a,
+                   greatest(l.rec_id, r.rec_id) AS b
+            FROM sn_ranked l JOIN sn_ranked r
+              ON r.rnk > l.rnk AND r.rnk - l.rnk < 8
+        """,
+        "er_sn_matches": f"""
+            WITH RECURSIVE {_ER_CTE},
+            sn_ranked AS (
+              SELECT rec_id, row_number() OVER (ORDER BY name, rec_id) AS rnk
+              FROM er_recs),
+            sn_cand AS (
+              SELECT least(l.rec_id, r.rec_id) AS a,
+                     greatest(l.rec_id, r.rec_id) AS b
+              FROM sn_ranked l JOIN sn_ranked r
+                ON r.rnk > l.rnk AND r.rnk - l.rnk < 8),
+            sn_scored AS (
+              SELECT p.a, p.b,
+                     round(jaro_winkler_similarity(la.name, rb.name), 6) AS jw,
+                     round(round(jaro_winkler_similarity(la.name, rb.name), 6) * 0.8
+                           + (CASE WHEN la.phone = rb.phone THEN 1.0 ELSE 0.0 END) * 0.1
+                           + (CASE WHEN la.nation = rb.nation THEN 1.0 ELSE 0.0 END) * 0.1,
+                           6) AS score
+              FROM sn_cand p
+              JOIN er_recs la ON la.rec_id = p.a
+              JOIN er_recs rb ON rb.rec_id = p.b)
+            SELECT a, b, jw, score FROM sn_scored WHERE score >= 0.85
+        """,
+        # r5b: edit distance — both engines run the classic Levenshtein
+        # DP built-in; the normalized similarity mirrors expression-for-
+        # expression (integer / in DuckDB yields double, Spark casts)
+        "edit_distance_adjacent": """
+            WITH p AS (
+              SELECT doc_id AS a, substr(coalesce(text, ''), 1, 64) AS s
+              FROM documents)
+            SELECT l.a AS a, l.a + 1 AS b,
+                   levenshtein(l.s, r.s) AS lev,
+                   round(1.0 - levenshtein(l.s, r.s)
+                         / greatest(length(l.s), length(r.s), 1), 6) AS lev_sim
+            FROM p l JOIN p r ON r.a = l.a + 1
+        """,
+        # r5b: TF-IDF cosine — replays tf / smoothed idf / norms / dot
+        # over the shared analytics tokenizer; inner joins mirror the
+        # Spark side's "pairs sharing ≥1 term" semantics
+        "tfidf_cosine_adjacent": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM toks GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            wt AS (
+              SELECT doc_id, tok,
+                     tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                    FROM wt GROUP BY doc_id),
+            dot AS (
+              SELECT l.doc_id AS a, sum(l.w * r.w) AS dot
+              FROM wt l JOIN wt r
+                ON r.doc_id = l.doc_id + 1 AND r.tok = l.tok
+              GROUP BY l.doc_id)
+            SELECT d.a, d.a + 1 AS b,
+                   round(d.dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+            FROM dot d
+            JOIN nrm na ON na.doc_id = d.a
+            JOIN nrm nb ON nb.doc_id = d.a + 1
         """,
         "simhash_sql": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

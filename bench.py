@@ -107,6 +107,12 @@ def main() -> int:
         "duplicate_spans",
         # r5: the 7-stage crawl-to-clean-corpus composition end-to-end
         "web_clean_report",
+        # r5b: sorted-neighborhood blocking end-to-end (distributed rank
+        # + bucket join + JW-blend scoring) and TF-IDF cosine (posting-
+        # list shuffle shape — different cost profile from the set/sketch
+        # scorers, so tracked separately)
+        "er_sn_matches",
+        "tfidf_cosine_adjacent",
     ]
     from cpp_near_dedupe_spark.cache import release_all
 

@@ -267,3 +267,36 @@ def er_golden_records(
             "max_bal",
         )
     )
+
+
+DEFAULT_SN_WINDOW = 8
+
+
+def er_sn_pairs(records: DataFrame, window: int = DEFAULT_SN_WINDOW) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (a, b) over the name sort order
+    (Hernández & Stolfo 1995) — the classic complement to the equi-key
+    blocking passes: key blocking misses dupes whose keys disagree, sort
+    adjacency catches any damage that preserves the sort prefix. The rank
+    and pair generation are the distributed, windowless formulation in
+    operators/sorted_neighborhood.py; recall against the fixture's ground
+    truth is measured in tests/test_linkage_extras.py."""
+    from .sorted_neighborhood import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        records.select("rec_id", "name"), ["name"], "rec_id", window
+    )
+
+
+def er_sn_matches(
+    records: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    window: int = DEFAULT_SN_WINDOW,
+) -> DataFrame:
+    """Sorted-neighborhood blocking + the shared pairwise score blend +
+    threshold: the end-to-end ER match set under the alternative blocking
+    strategy. Same scoring/threshold as ``er_matches``, so the two match
+    sets are directly comparable (key blocking vs sort blocking)."""
+    pairs = er_sn_pairs(records, window)
+    return er_score_pairs(records, pairs).filter(
+        F.col("score") >= threshold
+    )

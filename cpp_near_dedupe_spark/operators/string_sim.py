@@ -38,6 +38,41 @@ def jaro_winkler_score(
     return pairs.mapInPandas(run, schema=schema)
 
 
+def levenshtein_adjacent(
+    docs: DataFrame,
+    n_chars: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b=a+1, lev, lev_sim) over the first ``n_chars`` characters of
+    consecutive documents: classic edit distance plus the standard
+    normalized similarity 1 - lev/max(len). Entirely JVM-side —
+    ``F.levenshtein`` is a built-in codegen expression (and DuckDB's
+    ``levenshtein`` implements the same classic DP, so the oracle is a
+    direct mirror). The third record-linkage string measure next to
+    Jaro-Winkler (typo-shaped damage) and n-gram Jaccard (reordering):
+    edit distance is the standard gauge for insert/delete damage."""
+    prefix = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, n_chars)
+    left = docs.select(F.col(id_col).alias("a"), prefix.alias("s1"))
+    right = docs.select((F.col(id_col) - 1).alias("a"), prefix.alias("s2"))
+    lev = F.levenshtein(F.col("s1"), F.col("s2"))
+    sim = F.round(
+        F.lit(1.0)
+        - lev.cast("double")
+        / F.greatest(F.length("s1"), F.length("s2"), F.lit(1)),
+        6,
+    )
+    return (
+        left.join(right, "a")
+        .select(
+            "a",
+            (F.col("a") + 1).alias("b"),
+            lev.alias("lev"),
+            sim.alias("lev_sim"),
+        )
+    )
+
+
 def jaro_winkler_adjacent(
     docs: DataFrame,
     n_chars: int = 64,

@@ -1,0 +1,271 @@
+"""Sorted-neighborhood blocking, TF-IDF cosine, and Levenshtein scoring
+(operators/sorted_neighborhood.py, operators/tfidf.py,
+operators/string_sim.levenshtein_adjacent) — r5b linkage additions."""
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        dirty_customer_records,
+    )
+
+    df = dirty_customer_records(
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(autouse=True)
+def _drain_registry():
+    """global_rank/tfidf track() their intermediates; drain per test."""
+    from cpp_near_dedupe_spark.cache import release_all
+
+    yield
+    release_all()
+
+
+# --- distributed global rank ------------------------------------------------
+
+
+def test_global_rank_matches_single_window(spark):
+    from cpp_near_dedupe_spark.operators.sorted_neighborhood import global_rank
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("rid"),
+        # non-monotone sort key with DUPLICATES so the id tiebreak and
+        # cross-boundary ties are both exercised
+        ((F.col("id") * 37) % 91).alias("k"),
+    )
+    got = global_rank(df, ["k"], "rid", num_partitions=7)
+    w = Window.orderBy("k", "rid")
+    want = df.withColumn("rank", F.row_number().over(w).cast("long"))
+    assert got.select("rid", "k", "rank").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("rid", "k", "rank")).count() == 0
+
+
+def test_global_rank_is_dense_and_unique(spark):
+    from cpp_near_dedupe_spark.operators.sorted_neighborhood import global_rank
+
+    df = spark.range(0, 333).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("k")
+    )
+    ranks = [r["rank"] for r in global_rank(df, ["k"], "rid").collect()]
+    assert sorted(ranks) == list(range(1, 334))
+
+
+def test_global_rank_plan_has_no_global_data_window(spark):
+    """The only single-partition window may be the P-row offset prefix
+    sum; the data-sized window must partition by the range-partition id."""
+    from cpp_near_dedupe_spark.operators.sorted_neighborhood import global_rank
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 97).alias("k")
+    )
+    plan = global_rank(df, ["k"], "rid")._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    data_windows = [ln for ln in windows if "_pid" in ln and "_lr" in ln]
+    assert data_windows, plan  # the big window is partitioned by _pid
+    # the offset window ranks over _n (partition counts), never over data
+    for ln in windows:
+        if ln not in data_windows:
+            assert "_n" in ln or "_off" in ln, ln
+
+
+# --- sorted-neighborhood pairs ----------------------------------------------
+
+
+def _brute_sn_pairs(spark, df, sort_cols, id_col, window):
+    w = Window.orderBy(*sort_cols, id_col)
+    ranked = df.withColumn("rnk", F.row_number().over(w))
+    l = ranked.select(F.col(id_col).alias("_ia"), F.col("rnk").alias("ra"))
+    r = ranked.select(F.col(id_col).alias("_ib"), F.col("rnk").alias("rb"))
+    return (
+        l.crossJoin(r)
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") < window))
+        .select(
+            F.least("_ia", "_ib").alias("a"), F.greatest("_ia", "_ib").alias("b")
+        )
+    )
+
+
+@pytest.mark.parametrize("window", [2, 5, 8])
+def test_sn_pairs_match_definition(spark, window):
+    from cpp_near_dedupe_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("rid"), ((F.col("id") * 53) % 77).alias("k")
+    )
+    got = sorted_neighborhood_pairs(df, ["k"], "rid", window, num_partitions=5)
+    want = _brute_sn_pairs(spark, df, ["k"], "rid", window)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_sn_pair_count_is_linear(spark):
+    """N records, window w -> exactly (N-1) + ... i.e. sum over gap g of
+    (N-g) for g in 1..w-1 — the sorted-neighborhood compare budget."""
+    from cpp_near_dedupe_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w = 240, 6
+    df = spark.range(0, n).select(
+        F.col("id").alias("rid"), ((F.col("id") * 11) % 301).alias("k")
+    )
+    got = sorted_neighborhood_pairs(df, ["k"], "rid", w).count()
+    assert got == sum(n - g for g in range(1, w))
+
+
+def test_er_sn_recall_on_dirty_fixture(records):
+    """Sort-order blocking catches most fixture dupes: every copy damages
+    the name at position >= 4, so base and copy share a 3-char prefix and
+    sort near each other. Pin the measured floor (and that the %13 copies
+    with damaged PHONES — invisible to the ph: key pass — are found)."""
+    from cpp_near_dedupe_spark.operators.entity_resolution import er_sn_pairs
+
+    true_l = records.select("entity_id", F.col("rec_id").alias("a"))
+    true_r = records.select("entity_id", F.col("rec_id").alias("b"))
+    truth = (
+        true_l.join(true_r, "entity_id").filter(F.col("a") < F.col("b"))
+    ).select("a", "b")
+    n_truth = truth.count()
+    got = er_sn_pairs(records)
+    caught = got.join(truth, ["a", "b"], "left_semi").count()
+    assert n_truth > 0
+    assert caught / n_truth >= 0.9
+
+
+def test_er_sn_matches_agree_with_key_blocking_on_shared_pairs(records):
+    """Same scorer, same threshold: a pair found by BOTH blockings must
+    carry the identical score row in er_matches and er_sn_matches."""
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        er_matches,
+        er_sn_matches,
+    )
+
+    km = er_matches(records).select("a", "b", "jw", "score")
+    sn = er_sn_matches(records).select("a", "b", "jw", "score")
+    shared_keys = km.select("a", "b").intersect(sn.select("a", "b"))
+    km_shared = km.join(shared_keys, ["a", "b"])
+    sn_shared = sn.join(shared_keys, ["a", "b"])
+    assert shared_keys.count() > 0
+    assert km_shared.exceptAll(sn_shared).count() == 0
+
+
+# --- TF-IDF cosine ------------------------------------------------------------
+
+
+def _brute_tfidf_cosine(texts):
+    """Pure-python replay of tfidf_cosine_adjacent over texts[i] with
+    doc_id = i; returns {(a, b): cosine} rounded to 6 dp."""
+    import re
+    from collections import Counter
+
+    toks = [
+        [t for t in re.split(r"[^a-z0-9]+", (s or "").lower()) if t]
+        for s in texts
+    ]
+    n = len(texts)
+    tf = [Counter(ts) for ts in toks]
+    df = Counter()
+    for c in tf:
+        df.update(c.keys())
+    vecs = [
+        {
+            t: cnt * (math.log((n + 1.0) / (df[t] + 1.0)) + 1.0)
+            for t, cnt in c.items()
+        }
+        for c in tf
+    ]
+    out = {}
+    for a in range(n - 1):
+        va, vb = vecs[a], vecs[a + 1]
+        dot = sum(w * vb[t] for t, w in va.items() if t in vb)
+        if dot == 0 or not va or not vb:
+            continue
+        na = math.sqrt(sum(w * w for w in va.values()))
+        nb = math.sqrt(sum(w * w for w in vb.values()))
+        out[(a, a + 1)] = round(dot / (na * nb), 6)
+    return out
+
+
+def test_tfidf_cosine_matches_brute_force(spark):
+    from cpp_near_dedupe_spark.operators.tfidf import tfidf_cosine_adjacent
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "entirely different words appear in this one",
+        "entirely different words appear in this one",  # identical pair
+        "",  # no tokens: pairs (2?,) -- (3,4) dropped, (4,5) dropped
+        "numbers 123 and 456 mixed with words",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a"], r["b"]): r["tfidf_cosine"]
+        for r in tfidf_cosine_adjacent(df).collect()
+    }
+    want = _brute_tfidf_cosine(texts)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+    # identical adjacent docs score exactly 1
+    assert got[(2, 3)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_tfidf_rare_terms_outweigh_common(spark):
+    """A pair overlapping on corpus-rare terms must outscore a pair
+    overlapping only on corpus-common (low-idf) terms — the weighting
+    property that distinguishes TF-IDF cosine from plain Jaccard."""
+    from cpp_near_dedupe_spark.operators.tfidf import tfidf_cosine_adjacent
+
+    filler = " shared common words everywhere"
+    texts = [
+        "zebra quagga okapi" + filler,  # 0-1 overlap on rare terms
+        "zebra quagga okapi distinct tail here" + filler,
+        "shared common words everywhere alpha beta",  # 2-3 overlap on common
+        "shared common words everywhere gamma delta",
+        "shared common words everywhere epsilon one",
+        "shared common words everywhere epsilon two",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a"], r["b"]): r["tfidf_cosine"]
+        for r in tfidf_cosine_adjacent(df).collect()
+    }
+    assert got[(0, 1)] > got[(2, 3)]
+
+
+# --- Levenshtein ---------------------------------------------------------------
+
+
+def test_levenshtein_adjacent_known_values(spark):
+    from cpp_near_dedupe_spark.operators.string_sim import levenshtein_adjacent
+
+    df = spark.createDataFrame(
+        [(0, "kitten"), (1, "sitting"), (2, "sitting"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["a"]: (r["lev"], r["lev_sim"])
+        for r in levenshtein_adjacent(df).collect()
+    }
+    assert rows[0] == (3, round(1 - 3 / 7, 6))  # kitten -> sitting
+    assert rows[1] == (0, 1.0)  # identical strings
+    assert rows[2] == (7, 0.0)  # null coalesces to empty
