@@ -314,6 +314,18 @@ def _q_er_sn_matches(spark, sf_dir):
     return er_sn_matches(_er_records(spark, sf_dir))
 
 
+def _q_er_blocking_report(spark, sf_dir):
+    """Blocking-quality report (operators/entity_resolution.py): pairs
+    completeness + reduction ratio per strategy (key vs sorted-
+    neighborhood) against the fixture's labeled entity pairs — the two
+    standard blocking metrics, as 1-row aggregates with no collect."""
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        er_blocking_report,
+    )
+
+    return er_blocking_report(_er_records(spark, sf_dir))
+
+
 def _q_pages_dedupe(spark, sf_dir):
     """North-star input shape end-to-end (plans/pages_pipeline.py, r5):
     documents → deterministic pages (url, warc_ts, html, text, lang) →
@@ -1420,6 +1432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the end-to-end match set, both full DuckDB oracles
         "er_sn_pairs": _q_er_sn_pairs,
         "er_sn_matches": _q_er_sn_matches,
+        # r5b: the two standard blocking-quality metrics (pairs
+        # completeness / reduction ratio), key vs sorted-neighborhood
+        "er_blocking_report": _q_er_blocking_report,
         # simhash: the production fingerprint is XXH64-based (rows-only,
         # same reason as the parity chain); simhash_sql* is its md5/60-bit
         # twin with the identical vote/sign/pack construction, fully
@@ -2714,6 +2729,40 @@ def oracle_sql() -> dict[str, str]:
               JOIN er_recs la ON la.rec_id = p.a
               JOIN er_recs rb ON rb.rec_id = p.b)
             SELECT a, b, jw, score FROM sn_scored WHERE score >= 0.85
+        """,
+        "er_blocking_report": f"""
+            WITH RECURSIVE {_ER_CTE},
+            sn_ranked AS (
+              SELECT rec_id, row_number() OVER (ORDER BY name, rec_id) AS rnk
+              FROM er_recs),
+            sn_cand AS (
+              SELECT least(l.rec_id, r.rec_id) AS a,
+                     greatest(l.rec_id, r.rec_id) AS b
+              FROM sn_ranked l JOIN sn_ranked r
+                ON r.rnk > l.rnk AND r.rnk - l.rnk < 8),
+            truth AS (
+              SELECT l.rec_id AS a, r.rec_id AS b
+              FROM er_recs l JOIN er_recs r
+                ON l.entity_id = r.entity_id AND l.rec_id < r.rec_id),
+            nn AS (SELECT count(*) AS n FROM er_recs),
+            nt AS (SELECT count(*) AS n_truth FROM truth)
+            SELECT 'key' AS strategy,
+                   (SELECT count(*) FROM er_cand) AS n_candidates,
+                   round((SELECT count(*) FROM er_cand c
+                          JOIN truth t ON t.a = c.a AND t.b = c.b)
+                         * 1.0 / nt.n_truth, 6) AS pairs_completeness,
+                   round(1.0 - (SELECT count(*) FROM er_cand)
+                         / (nn.n * (nn.n - 1) / 2.0), 6) AS reduction_ratio
+            FROM nn, nt
+            UNION ALL
+            SELECT 'sorted_neighborhood' AS strategy,
+                   (SELECT count(*) FROM sn_cand) AS n_candidates,
+                   round((SELECT count(*) FROM sn_cand c
+                          JOIN truth t ON t.a = c.a AND t.b = c.b)
+                         * 1.0 / nt.n_truth, 6) AS pairs_completeness,
+                   round(1.0 - (SELECT count(*) FROM sn_cand)
+                         / (nn.n * (nn.n - 1) / 2.0), 6) AS reduction_ratio
+            FROM nn, nt
         """,
         # r5b: edit distance — both engines run the classic Levenshtein
         # DP built-in; the normalized similarity mirrors expression-for-

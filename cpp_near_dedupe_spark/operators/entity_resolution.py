@@ -300,3 +300,69 @@ def er_sn_matches(
     return er_score_pairs(records, pairs).filter(
         F.col("score") >= threshold
     )
+
+
+def er_truth_pairs(records: DataFrame) -> DataFrame:
+    """All unordered same-entity pairs from the fixture's ground-truth
+    ``entity_id`` — the labeled pair set the north rule's F1 target is
+    measured against (tests/test_entity_resolution.py does the measuring;
+    this helper feeds the blocking-quality report)."""
+    l = records.select("entity_id", F.col("rec_id").alias("a"))
+    r = records.select("entity_id", F.col("rec_id").alias("b"))
+    return (
+        l.join(r, "entity_id").filter(F.col("a") < F.col("b")).select("a", "b")
+    )
+
+
+def er_blocking_report(
+    records: DataFrame,
+    cap: int = DEFAULT_BLOCK_CAP,
+    window: int = DEFAULT_SN_WINDOW,
+) -> DataFrame:
+    """One row per blocking strategy with the two standard blocking
+    metrics (Christen 2012): **pairs completeness** (share of labeled
+    true pairs surviving into the candidate set — blocking recall) and
+    **reduction ratio** (1 - candidates/all-pairs — how much of the
+    O(n²) comparison space the blocking removed). The tension between
+    the two IS the blocking design problem, so the report puts key
+    blocking and sorted-neighborhood side by side over the same records.
+
+    Scale shape: every metric is a 1-row aggregate (count of candidates,
+    count of truth pairs, semi-join hit count) crossJoined broadcast-
+    style — no driver collect, no window; the expensive inputs are the
+    candidate generators themselves, already scale-shaped.
+    """
+    truth = er_truth_pairs(records)
+    n_rows = records.select(F.count(F.lit(1)).alias("n"))
+    n_truth = truth.select(F.count(F.lit(1)).alias("n_truth"))
+
+    def metrics(cand: DataFrame, name: str) -> DataFrame:
+        c = cand.select(F.count(F.lit(1)).alias("n_candidates"))
+        hit = cand.join(truth, ["a", "b"], "left_semi").select(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        return (
+            c.crossJoin(F.broadcast(hit))
+            .crossJoin(F.broadcast(n_truth))
+            .crossJoin(F.broadcast(n_rows))
+            .select(
+                F.lit(name).alias("strategy"),
+                "n_candidates",
+                F.round(F.col("n_hit") / F.col("n_truth"), 6).alias(
+                    "pairs_completeness"
+                ),
+                F.round(
+                    # n as double BEFORE the product: n·(n-1) overflows
+                    # int64 past ~3e9 rows, and the ratio only needs
+                    # double precision anyway
+                    F.lit(1.0)
+                    - F.col("n_candidates")
+                    / (F.col("n").cast("double") * (F.col("n") - 1) / 2.0),
+                    6,
+                ).alias("reduction_ratio"),
+            )
+        )
+
+    key = metrics(er_candidate_pairs(records, cap), "key")
+    sn = metrics(er_sn_pairs(records, window), "sorted_neighborhood")
+    return key.unionByName(sn)

@@ -269,3 +269,41 @@ def test_levenshtein_adjacent_known_values(spark):
     assert rows[0] == (3, round(1 - 3 / 7, 6))  # kitten -> sitting
     assert rows[1] == (0, 1.0)  # identical strings
     assert rows[2] == (7, 0.0)  # null coalesces to empty
+
+
+# --- blocking-quality report -----------------------------------------------
+
+
+def test_er_blocking_report_values(records):
+    """Report rows must equal metrics computed independently from the
+    (already-tested) candidate generators and the ground truth."""
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        er_blocking_report,
+        er_candidate_pairs,
+        er_sn_pairs,
+        er_truth_pairs,
+    )
+
+    rows = {r["strategy"]: r for r in er_blocking_report(records).collect()}
+    assert set(rows) == {"key", "sorted_neighborhood"}
+    truth = er_truth_pairs(records)
+    n_truth = truth.count()
+    n = records.count()
+    for name, cand in (
+        ("key", er_candidate_pairs(records)),
+        ("sorted_neighborhood", er_sn_pairs(records)),
+    ):
+        n_cand = cand.count()
+        n_hit = cand.join(truth, ["a", "b"], "left_semi").count()
+        r = rows[name]
+        assert r["n_candidates"] == n_cand
+        assert r["pairs_completeness"] == pytest.approx(
+            round(n_hit / n_truth, 6), abs=1e-9
+        )
+        assert r["reduction_ratio"] == pytest.approx(
+            round(1.0 - n_cand / (n * (n - 1) / 2.0), 6), abs=1e-9
+        )
+        # both strategies must actually block (reduce the pair space)
+        # while keeping most of the labeled dupes
+        assert r["reduction_ratio"] > 0.9
+        assert r["pairs_completeness"] >= 0.9

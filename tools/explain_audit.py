@@ -123,6 +123,17 @@ def main() -> int:
         "semantic_dedupe_lsh head (bucket equi-join pair gen; CC rounds "
         "are per-round jobs behind localCheckpoint)":
             entry._q_semantic_dedupe_lsh(spark, sf_dir),
+        # r5b: the distributed rank's big row_number window must partition
+        # by the range-partition id (never a global one-task window); the
+        # only single-partition window is the P-row offset prefix sum
+        "er_sn_matches (two-phase distributed rank + adjacent-bucket "
+        "equi-join; data window partitioned by _pid only)":
+            entry._q_er_sn_matches(spark, sf_dir),
+        "tfidf_cosine_adjacent (posting-list hash aggs + term equi-join; "
+        "1-row corpus count broadcast)":
+            entry._q_tfidf_cosine_adjacent(spark, sf_dir),
+        "edit_distance_adjacent (built-in levenshtein, pure codegen)":
+            entry._q_edit_distance_adjacent(spark, sf_dir),
     }
     out = ["# Physical plan audit (generated by tools/explain_audit.py)\n"]
     for title, df in plans.items():
