@@ -204,6 +204,16 @@ def _q_tfidf_cosine_adjacent(spark, sf_dir):
     return tfidf_cosine_adjacent(_docs(spark, sf_dir))
 
 
+def _q_lm_fluency(spark, sf_dir):
+    """Self-trained bigram-LM fluency score (operators/lm_score.py) —
+    the CCNet perplexity-filter slot: mean Laplace-smoothed conditional
+    log-prob per doc under the corpus's own bigram statistics. Oracle
+    replays bigram/context counts and the smoothed mean in DuckDB."""
+    from cpp_near_dedupe_spark.operators.lm_score import lm_fluency_score
+
+    return lm_fluency_score(_docs(spark, sf_dir))
+
+
 def _q_bpe_token_stats(spark, sf_dir):
     """BPE-ish pre-tokenizer counts (operators/text_analysis.py
     bpe_token_stats): letter-run / digit-run / other-run pieces per doc —
@@ -312,6 +322,16 @@ def _q_er_sn_matches(spark, sf_dir):
     from cpp_near_dedupe_spark.operators.entity_resolution import er_sn_matches
 
     return er_sn_matches(_er_records(spark, sf_dir))
+
+
+def _q_er_matches_combined(spark, sf_dir):
+    """Match set under key ∪ sorted-neighborhood blocking (distinct
+    before scoring) — recall stacks like multi-band LSH bands."""
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        er_matches_combined,
+    )
+
+    return er_matches_combined(_er_records(spark, sf_dir))
 
 
 def _q_er_blocking_report(spark, sf_dir):
@@ -1407,6 +1427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine (posting-list groupBy/join, smoothed idf)
         "edit_distance_adjacent": _q_edit_distance_adjacent,
         "tfidf_cosine_adjacent": _q_tfidf_cosine_adjacent,
+        # r5b: the CCNet perplexity-filter slot — self-trained bigram LM
+        # fluency score (full oracle; KenLM seam documented in-module)
+        "lm_fluency": _q_lm_fluency,
         # r5: the north-star pages input shape end-to-end (url identity)
         "pages_dedupe": _q_pages_dedupe,
         "pages_dedupe_first_seen": _q_pages_dedupe_first_seen,
@@ -1433,8 +1456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_sn_pairs": _q_er_sn_pairs,
         "er_sn_matches": _q_er_sn_matches,
         # r5b: the two standard blocking-quality metrics (pairs
-        # completeness / reduction ratio), key vs sorted-neighborhood
+        # completeness / reduction ratio), key vs sorted-neighborhood,
+        # and the match set under the union of both blockings
         "er_blocking_report": _q_er_blocking_report,
+        "er_matches_combined": _q_er_matches_combined,
         # simhash: the production fingerprint is XXH64-based (rows-only,
         # same reason as the parity chain); simhash_sql* is its md5/60-bit
         # twin with the identical vote/sign/pack construction, fully
@@ -2730,6 +2755,34 @@ def oracle_sql() -> dict[str, str]:
               JOIN er_recs rb ON rb.rec_id = p.b)
             SELECT a, b, jw, score FROM sn_scored WHERE score >= 0.85
         """,
+        "er_matches_combined": f"""
+            WITH RECURSIVE {_ER_CTE},
+            sn_ranked AS (
+              SELECT rec_id, row_number() OVER (ORDER BY name, rec_id) AS rnk
+              FROM er_recs),
+            comb_cand AS (
+              -- explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE
+              -- block DuckDB processed a bare UNION here as UNION ALL,
+              -- double-scoring shared pairs
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM er_cand
+                UNION ALL
+                SELECT least(l.rec_id, r.rec_id) AS a,
+                       greatest(l.rec_id, r.rec_id) AS b
+                FROM sn_ranked l JOIN sn_ranked r
+                  ON r.rnk > l.rnk AND r.rnk - l.rnk < 8)),
+            comb_scored AS (
+              SELECT p.a, p.b,
+                     round(jaro_winkler_similarity(la.name, rb.name), 6) AS jw,
+                     round(round(jaro_winkler_similarity(la.name, rb.name), 6) * 0.8
+                           + (CASE WHEN la.phone = rb.phone THEN 1.0 ELSE 0.0 END) * 0.1
+                           + (CASE WHEN la.nation = rb.nation THEN 1.0 ELSE 0.0 END) * 0.1,
+                           6) AS score
+              FROM comb_cand p
+              JOIN er_recs la ON la.rec_id = p.a
+              JOIN er_recs rb ON rb.rec_id = p.b)
+            SELECT a, b, jw, score FROM comb_scored WHERE score >= 0.85
+        """,
         "er_blocking_report": f"""
             WITH RECURSIVE {_ER_CTE},
             sn_ranked AS (
@@ -2776,6 +2829,31 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - levenshtein(l.s, r.s)
                          / greatest(length(l.s), length(r.s), 1), 6) AS lev_sim
             FROM p l JOIN p r ON r.a = l.a + 1
+        """,
+        # r5b: bigram-LM fluency — replays bigram/context counts, the
+        # corpus vocabulary size, and the Laplace-smoothed mean log-prob
+        "lm_fluency": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+            tp AS (
+              SELECT doc_id, unnest(ws) AS tok,
+                     generate_subscripts(ws, 1) AS i
+              FROM toks),
+            bi AS (
+              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+              FROM tp a JOIN tp b
+                ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT w1, w2, count(*) AS c_bi FROM bi GROUP BY w1, w2),
+            cx AS (SELECT w1, sum(c_bi) AS c_ctx FROM bc GROUP BY w1),
+            vv AS (SELECT count(DISTINCT tok) AS v
+                   FROM (SELECT unnest({_TOKS}) AS tok FROM documents))
+            SELECT bi.doc_id,
+                   count(*) AS n_bigrams,
+                   round(avg(ln((c_bi + 1.0) / (c_ctx + v))), 6) AS avg_logprob
+            FROM bi
+            JOIN bc USING (w1, w2)
+            JOIN cx USING (w1)
+            CROSS JOIN vv
+            GROUP BY bi.doc_id
         """,
         # r5b: TF-IDF cosine — replays tf / smoothed idf / norms / dot
         # over the shared analytics tokenizer; inner joins mirror the

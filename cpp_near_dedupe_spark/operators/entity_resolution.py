@@ -366,3 +366,22 @@ def er_blocking_report(
     key = metrics(er_candidate_pairs(records, cap), "key")
     sn = metrics(er_sn_pairs(records, window), "sorted_neighborhood")
     return key.unionByName(sn)
+
+
+def er_matches_combined(
+    records: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    cap: int = DEFAULT_BLOCK_CAP,
+    window: int = DEFAULT_SN_WINDOW,
+) -> DataFrame:
+    """Match set under the UNION of both blocking strategies (key passes
+    ∪ sorted-neighborhood), deduplicated before scoring — recall stacks
+    the way multi-band LSH bands stack (each blocking recovers pairs the
+    other misses; the blocking-quality report quantifies each side), and
+    the distinct keeps every pair scored exactly once."""
+    cand = (
+        er_candidate_pairs(records, cap)
+        .unionByName(er_sn_pairs(records, window))
+        .distinct()
+    )
+    return er_score_pairs(records, cand).filter(F.col("score") >= threshold)

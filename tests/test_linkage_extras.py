@@ -307,3 +307,74 @@ def test_er_blocking_report_values(records):
         # while keeping most of the labeled dupes
         assert r["reduction_ratio"] > 0.9
         assert r["pairs_completeness"] >= 0.9
+
+
+def test_er_matches_combined_superset_and_dedup(records):
+    """The union-blocking match set contains every key-blocking match and
+    every SN-blocking match, scores each pair exactly once, and equals
+    their row-level union (same scorer, same threshold)."""
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        er_matches,
+        er_matches_combined,
+        er_sn_matches,
+    )
+
+    comb = er_matches_combined(records).cache()
+    km = er_matches(records)
+    sn = er_sn_matches(records)
+    assert km.exceptAll(comb).count() == 0
+    assert sn.exceptAll(comb).count() == 0
+    # nothing beyond the two inputs, and no duplicate (a, b) rows
+    assert comb.exceptAll(km.unionByName(sn).distinct()).count() == 0
+    assert comb.count() == comb.select("a", "b").distinct().count()
+    comb.unpersist()
+
+
+# --- bigram-LM fluency -------------------------------------------------------
+
+
+def test_lm_fluency_matches_brute_force(spark):
+    from cpp_near_dedupe_spark.operators.lm_score import lm_fluency_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "cat the on sat mat the",  # same unigrams, scrambled order
+        "zz",                      # single token: no bigrams -> absent
+        "",                        # no tokens -> absent
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_fluency_score(df).collect()
+    }
+
+    import re
+    from collections import Counter
+
+    toks = [
+        [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for s in texts
+    ]
+    bigrams = [list(zip(ts, ts[1:])) for ts in toks]
+    bc = Counter(bg for doc in bigrams for bg in doc)
+    cx = Counter()
+    for (w1, _), c in bc.items():
+        cx[w1] += c
+    vocab = len({t for ts in toks for t in ts})
+    want = {}
+    for i, doc in enumerate(bigrams):
+        if not doc:
+            continue
+        lps = [
+            math.log((bc[bg] + 1.0) / (cx[bg[0]] + vocab)) for bg in doc
+        ]
+        want[i] = (len(doc), round(sum(lps) / len(lps), 6))
+    assert set(got) == set(want) == {0, 1, 2}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+    # fluency ordering: the natural sentences share most bigrams and must
+    # outscore the scrambled doc whose bigrams are mostly singletons
+    assert got[0][1] > got[2][1] and got[1][1] > got[2][1]
