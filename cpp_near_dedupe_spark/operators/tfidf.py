@@ -56,13 +56,24 @@ def tfidf_weights(
     )
 
 
-def tfidf_cosine_adjacent(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """(a, b=a+1, tfidf_cosine) for consecutive doc ids that share at
-    least one term. The weights relation feeds four plan branches (two
-    join sides and two norm lookups), so it is persisted through the
-    session cache registry; the caller releases after materializing."""
+    """(a, b, tfidf_cosine) for an arbitrary candidate-pair relation
+    (a, b) — the general scorer: attach each side's posting list by id,
+    join the two lists on (pair, term), aggregate the dot product, divide
+    by the per-doc norms. Pairs sharing no term are dropped (cosine 0).
+
+    Scale shape: the pair relation joins the weights relation on its id
+    keys (the same two-equi-join layout as ``er_score_pairs``); the dot
+    aggregation keys on the pair — a candidate-pair list from LSH/SN
+    blocking stays linear end-to-end. The weights relation feeds four
+    plan branches (two join sides, two norm lookups), so it is persisted
+    through the session cache registry; the caller releases after
+    materializing."""
     from ..cache import track
 
     w = track(tfidf_weights(docs, id_col, text_col))
@@ -70,24 +81,37 @@ def tfidf_cosine_adjacent(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
     lhs = w.select(F.col(id_col).alias("a"), "tok", F.col("w").alias("wa"))
-    rhs = w.select(
-        (F.col(id_col) - 1).alias("a"), "tok", F.col("w").alias("wb")
-    )
+    rhs = w.select(F.col(id_col).alias("b"), "tok", F.col("w").alias("wb"))
     dot = (
-        lhs.join(rhs, ["a", "tok"])
-        .groupBy("a")
+        pairs.join(lhs, "a")
+        .join(rhs, ["b", "tok"])
+        .groupBy("a", "b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
     na = nrm.select(F.col(id_col).alias("a"), F.col("nrm").alias("_na"))
-    nb = nrm.select((F.col(id_col) - 1).alias("a"), F.col("nrm").alias("_nb"))
+    nb = nrm.select(F.col(id_col).alias("b"), F.col("nrm").alias("_nb"))
     return (
         dot.join(na, "a")
-        .join(nb, "a")
+        .join(nb, "b")
         .select(
             "a",
-            (F.col("a") + 1).alias("b"),
+            "b",
             F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6).alias(
                 "tfidf_cosine"
             ),
         )
     )
+
+
+def tfidf_cosine_adjacent(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(a, b=a+1, tfidf_cosine) for consecutive doc ids that share at
+    least one term — the oracle-able adjacent-pair probe of the general
+    ``tfidf_cosine_pairs`` scorer."""
+    ids = docs.select(F.col(id_col).alias("a"))
+    pairs = ids.join(
+        docs.select((F.col(id_col) - 1).alias("a"), F.col(id_col).alias("b")),
+        "a",
+    )
+    return tfidf_cosine_pairs(docs, pairs, id_col, text_col)

@@ -378,3 +378,59 @@ def test_lm_fluency_matches_brute_force(spark):
     # fluency ordering: the natural sentences share most bigrams and must
     # outscore the scrambled doc whose bigrams are mostly singletons
     assert got[0][1] > got[2][1] and got[1][1] > got[2][1]
+
+
+def test_tfidf_cosine_pairs_general_scorer(spark):
+    """The general pair scorer on an explicit pair list must agree with
+    the adjacent probe, and must score arbitrary (non-adjacent) pairs."""
+    from cpp_near_dedupe_spark.operators.tfidf import (
+        tfidf_cosine_adjacent,
+        tfidf_cosine_pairs,
+    )
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma epsilon",
+        "totally different content here",
+        "alpha beta gamma delta",  # exact copy of doc 0
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    adj = {
+        (r["a"], r["b"]): r["tfidf_cosine"]
+        for r in tfidf_cosine_adjacent(df).collect()
+    }
+    pairs = spark.createDataFrame([(0, 1), (0, 3), (1, 2)], "a long, b long")
+    gen = {
+        (r["a"], r["b"]): r["tfidf_cosine"]
+        for r in tfidf_cosine_pairs(df, pairs).collect()
+    }
+    assert gen[(0, 1)] == adj[(0, 1)]
+    assert gen[(0, 3)] == pytest.approx(1.0, abs=1e-6)  # exact copy
+    assert (1, 2) not in gen  # no shared term -> dropped
+
+
+def test_global_rank_all_equal_sort_keys(spark):
+    """Degenerate sort key (every record identical — the boilerplate-name
+    hot spot): the range partitioner keys on the full (key, id) tuple, so
+    the tie block still spreads across partitions and the rank equals the
+    id order."""
+    from cpp_near_dedupe_spark.operators.sorted_neighborhood import global_rank
+
+    n = 5000
+    df = spark.range(0, n).select(
+        F.col("id").alias("rid"), F.lit("same").alias("k")
+    )
+    got = global_rank(df, ["k"], "rid", num_partitions=8)
+    rows = got.select("rid", "rank").collect()
+    assert all(r["rank"] == r["rid"] + 1 for r in rows)
+    # the tie block must not collapse into one range partition: the
+    # partitioner keys on (k, rid), and rid breaks every tie
+    npart = (
+        df.repartitionByRange(8, F.col("k"), F.col("rid"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert npart > 1
