@@ -113,6 +113,9 @@ def main() -> int:
         # scorers, so tracked separately)
         "er_sn_matches",
         "tfidf_cosine_adjacent",
+        # r5b: corpus bigram-LM fluency (the CCNet slot) — the bigram
+        # explode + two hash aggs are the cost to watch
+        "lm_fluency",
     ]
     from cpp_near_dedupe_spark.cache import release_all
 

@@ -98,8 +98,19 @@ def _brute_sn_pairs(spark, df, sort_cols, id_col, window):
     )
 
 
-@pytest.mark.parametrize("window", [2, 5, 8])
-def test_sn_pairs_match_definition(spark, window):
+@pytest.mark.parametrize(
+    "window,n_parts",
+    [
+        (2, 5),
+        (5, 5),
+        (8, 5),
+        # partitions of ~2 rows << window: every window spans several
+        # range partitions — the bucket join is rank-based, so the
+        # partition layout must not matter
+        (8, 100),
+    ],
+)
+def test_sn_pairs_match_definition(spark, window, n_parts):
     from cpp_near_dedupe_spark.operators.sorted_neighborhood import (
         sorted_neighborhood_pairs,
     )
@@ -107,7 +118,9 @@ def test_sn_pairs_match_definition(spark, window):
     df = spark.range(0, 200).select(
         F.col("id").alias("rid"), ((F.col("id") * 53) % 77).alias("k")
     )
-    got = sorted_neighborhood_pairs(df, ["k"], "rid", window, num_partitions=5)
+    got = sorted_neighborhood_pairs(
+        df, ["k"], "rid", window, num_partitions=n_parts
+    )
     want = _brute_sn_pairs(spark, df, ["k"], "rid", window)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0

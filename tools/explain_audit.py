@@ -134,6 +134,15 @@ def main() -> int:
             entry._q_tfidf_cosine_adjacent(spark, sf_dir),
         "edit_distance_adjacent (built-in levenshtein, pure codegen)":
             entry._q_edit_distance_adjacent(spark, sf_dir),
+        "er_matches_combined (key ∪ SN candidates, distinct before "
+        "scoring; one Arrow JW pass)":
+            entry._q_er_matches_combined(spark, sf_dir),
+        "er_blocking_report (1-row aggregates crossJoined broadcast-"
+        "style, no collect)":
+            entry._q_er_blocking_report(spark, sf_dir),
+        "lm_fluency (bigram/context hash aggs + natural-key joins, "
+        "1-row vocab broadcast, no window/UDF)":
+            entry._q_lm_fluency(spark, sf_dir),
     }
     out = ["# Physical plan audit (generated by tools/explain_audit.py)\n"]
     for title, df in plans.items():
