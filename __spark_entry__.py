@@ -204,6 +204,23 @@ def _q_tfidf_cosine_adjacent(spark, sf_dir):
     return tfidf_cosine_adjacent(_docs(spark, sf_dir))
 
 
+def _q_ngram_containment_adjacent(spark, sf_dir):
+    """Asymmetric n-gram containment (Broder 1997) between adjacent docs
+    (operators/ngram.py): catches B-embeds-A syndication duplication
+    that symmetric Jaccard dilutes. Oracle mirrors the gram-set algebra."""
+    from cpp_near_dedupe_spark.operators.ngram import ngram_containment_adjacent
+
+    return ngram_containment_adjacent(_docs(spark, sf_dir))
+
+
+def _q_token_sort_jw_adjacent(spark, sf_dir):
+    """Jaro-Winkler over sorted-token keys (the fuzzy token_sort idea) —
+    order-insensitive string match on the existing Arrow JW kernel."""
+    from cpp_near_dedupe_spark.operators.string_sim import token_sort_jw_adjacent
+
+    return token_sort_jw_adjacent(_docs(spark, sf_dir))
+
+
 def _q_lm_fluency(spark, sf_dir):
     """Self-trained bigram-LM fluency score (operators/lm_score.py) —
     the CCNet perplexity-filter slot: mean Laplace-smoothed conditional
@@ -1430,6 +1447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5b: the CCNet perplexity-filter slot — self-trained bigram LM
         # fluency score (full oracle; KenLM seam documented in-module)
         "lm_fluency": _q_lm_fluency,
+        # r5b: asymmetric containment (subset-duplication detection) and
+        # order-insensitive token-sort JW, both full oracles
+        "ngram_containment_adjacent": _q_ngram_containment_adjacent,
+        "token_sort_jw_adjacent": _q_token_sort_jw_adjacent,
         # r5: the north-star pages input shape end-to-end (url identity)
         "pages_dedupe": _q_pages_dedupe,
         "pages_dedupe_first_seen": _q_pages_dedupe_first_seen,
@@ -2828,6 +2849,36 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(l.s, r.s) AS lev,
                    round(1.0 - levenshtein(l.s, r.s)
                          / greatest(length(l.s), length(r.s), 1), 6) AS lev_sim
+            FROM p l JOIN p r ON r.a = l.a + 1
+        """,
+        # r5b: asymmetric containment — same gram-set algebra as the
+        # jaccard oracle, divided by each side's own set size
+        "ngram_containment_adjacent": f"""
+            WITH grams AS (
+              SELECT doc_id AS a,
+                     list_distinct(CASE WHEN len({_TOKS}) >= 5
+                       THEN list_transform(range(1, len({_TOKS}) - 3),
+                            i -> array_to_string(({_TOKS})[i:i+4], ' '))
+                       ELSE [] END) AS g
+              FROM documents)
+            SELECT l.a AS a, l.a + 1 AS b,
+                   round(CASE WHEN len(l.g) > 0
+                         THEN len(list_intersect(l.g, r.g)) * 1.0 / len(l.g)
+                         ELSE 0.0 END, 6) AS c_ab,
+                   round(CASE WHEN len(r.g) > 0
+                         THEN len(list_intersect(l.g, r.g)) * 1.0 / len(r.g)
+                         ELSE 0.0 END, 6) AS c_ba
+            FROM grams l JOIN grams r ON r.a = l.a + 1
+        """,
+        # r5b: token-sort JW — sorted first-12-token keys, then the same
+        # jaro_winkler_similarity both engines already agree on
+        "token_sort_jw_adjacent": f"""
+            WITH p AS (
+              SELECT doc_id AS a,
+                     array_to_string(list_sort(({_TOKS})[1:12]), ' ') AS s
+              FROM documents)
+            SELECT l.a AS a, l.a + 1 AS b,
+                   round(jaro_winkler_similarity(l.s, r.s), 6) AS ts_jw
             FROM p l JOIN p r ON r.a = l.a + 1
         """,
         # r5b: bigram-LM fluency — replays bigram/context counts, the

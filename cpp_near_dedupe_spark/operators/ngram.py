@@ -91,3 +91,47 @@ def ngram_dupe_pairs_adjacent(
     return ngram_jaccard_adjacent(docs, n, id_col, text_col).filter(
         F.col("jaccard") >= F.lit(threshold)
     )
+
+
+def ngram_containment_adjacent(
+    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT between each doc and the next id:
+    c_ab = |G(a)∩G(b)| / |G(a)| and c_ba = |G(a)∩G(b)| / |G(b)|
+    (Broder 1997's containment, next to his resemblance = Jaccard).
+
+    Why a separate measure: when document B embeds document A verbatim
+    inside a larger page (syndicated article + surrounding boilerplate —
+    the common-crawl quotation pattern), Jaccard is diluted by B's extra
+    grams (|A|/|B| at best) while c_ab stays ≈ 1. A near-dup policy that
+    also drops contained docs needs this number; symmetric Jaccard
+    cannot express it. Same linear adjacent-pair probe shape and the
+    same materialize-tokens-first plan hygiene as
+    ``ngram_jaccard_adjacent``; docs with no n-grams yield containment 0
+    (empty gram set is contained in nothing, mirrored by the oracle).
+    """
+    toks = docs.select(F.col(id_col).alias("a"), words_col(text_col).alias("_w"))
+    grams = toks.select(
+        "a",
+        F.array_distinct(word_ngrams_from_tokens(n, F.col("_w"))).alias("grams_a"),
+    )
+    right = grams.select(
+        (F.col("a") - F.lit(1)).alias("a"),
+        F.col("grams_a").alias("grams_b"),
+    )
+    joined = grams.join(right, "a").select(
+        "a",
+        (F.col("a") + F.lit(1)).alias("b"),
+        F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+        F.size("grams_a").alias("na"),
+        F.size("grams_b").alias("nb"),
+    )
+    contain = lambda denom: F.round(  # noqa: E731
+        F.when(F.col(denom) > 0, F.col("inter") / F.col(denom)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return joined.select(
+        "a", "b", contain("na").alias("c_ab"), contain("nb").alias("c_ba")
+    )

@@ -90,3 +90,32 @@ def jaro_winkler_adjacent(
         "a", (F.col("a") + 1).alias("b"), "s1", "s2"
     )
     return jaro_winkler_score(pairs).select("a", "b", "jw")
+
+
+def token_sort_jw_adjacent(
+    docs: DataFrame,
+    n_tokens: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b=a+1, ts_jw): Jaro-Winkler over the space-joined SORTED first
+    ``n_tokens`` tokens of consecutive docs — the token_sort idea from
+    fuzzy record matching (compare after canonicalizing token order) on
+    the existing Arrow JW kernel. Word-order damage ("doe john" vs
+    "john doe") costs raw JW most of its signal; sorting first removes
+    order as a variable while character-level damage still shows.
+    Tokens come from the shared analytics tokenizer; sort/join/slice are
+    pure codegen'd array expressions."""
+    from .text_analysis import words_col
+
+    key = F.array_join(
+        F.array_sort(F.slice(words_col(text_col), 1, n_tokens)), " "
+    )
+    left = docs.select(F.col(id_col).alias("a"), key.alias("s1"))
+    right = docs.select((F.col(id_col) - 1).alias("a"), key.alias("s2"))
+    pairs = left.join(right, "a").select(
+        "a", (F.col("a") + 1).alias("b"), "s1", "s2"
+    )
+    return jaro_winkler_score(pairs).select(
+        "a", "b", F.col("jw").alias("ts_jw")
+    )

@@ -447,3 +447,66 @@ def test_global_rank_all_equal_sort_keys(spark):
         .count()
     )
     assert npart > 1
+
+
+# --- containment and token-sort JW -------------------------------------------
+
+
+def test_ngram_containment_asymmetry(spark):
+    """B = A + extra boilerplate: containment of A in B stays 1.0 while
+    Jaccard is diluted — the property the measure exists for."""
+    from cpp_near_dedupe_spark.operators.ngram import (
+        ngram_containment_adjacent,
+        ngram_jaccard_adjacent,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        core,
+        core + " extra nav footer menu copyright terms privacy contact "
+        "subscribe newsletter related articles trending now",
+        "short",  # < 5 tokens: no grams -> containment 0 both ways
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cont = {
+        (r["a"], r["b"]): (r["c_ab"], r["c_ba"])
+        for r in ngram_containment_adjacent(df).collect()
+    }
+    jac = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_adjacent(df).collect()
+    }
+    assert cont[(0, 1)][0] == pytest.approx(1.0, abs=1e-6)  # A fully in B
+    assert cont[(0, 1)][1] < 1.0  # B not contained in A
+    assert jac[(0, 1)] < cont[(0, 1)][0]  # jaccard diluted by B's extras
+    assert cont[(1, 2)] == (0.0, 0.0)  # gram-less side -> 0
+
+
+def test_token_sort_jw_order_insensitive(spark):
+    """Scrambled token order scores 1.0 under token-sort JW (raw JW on
+    the same texts is far lower); character damage still shows."""
+    from cpp_near_dedupe_spark.operators.string_sim import (
+        jaro_winkler_adjacent,
+        token_sort_jw_adjacent,
+    )
+
+    texts = [
+        "john doe 42 main street springfield",
+        "springfield main street doe john 42",  # same tokens, scrambled
+        "springfield main street doe jhon 42",  # + one typo
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ts = {
+        (r["a"], r["b"]): r["ts_jw"]
+        for r in token_sort_jw_adjacent(df).collect()
+    }
+    raw = {
+        (r["a"], r["b"]): r["jw"] for r in jaro_winkler_adjacent(df).collect()
+    }
+    assert ts[(0, 1)] == pytest.approx(1.0, abs=1e-6)
+    assert raw[(0, 1)] < 0.9
+    assert 0.9 < ts[(1, 2)] < 1.0  # typo visible, order not
