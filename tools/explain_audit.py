@@ -143,6 +143,11 @@ def main() -> int:
         "lm_fluency (bigram/context hash aggs + natural-key joins, "
         "1-row vocab broadcast, no window/UDF)":
             entry._q_lm_fluency(spark, sf_dir),
+        "ngram_containment_adjacent (single tokenizer eval, set algebra "
+        "in-row, one equi-join)":
+            entry._q_ngram_containment_adjacent(spark, sf_dir),
+        "token_sort_jw_adjacent (codegen sort/join key + Arrow JW)":
+            entry._q_token_sort_jw_adjacent(spark, sf_dir),
     }
     out = ["# Physical plan audit (generated by tools/explain_audit.py)\n"]
     for title, df in plans.items():
