@@ -2839,11 +2839,15 @@ def oracle_sql() -> dict[str, str]:
             FROM nn, nt
         """,
         # r5b: edit distance — both engines run the classic Levenshtein
-        # DP built-in; the normalized similarity mirrors expression-for-
-        # expression (integer / in DuckDB yields double, Spark casts)
+        # DP built-in over the SAME ASCII projection (Spark counts
+        # codepoints, DuckDB counts UTF-8 bytes; dropping non-ASCII on
+        # both sides makes the units coincide — see the operator
+        # docstring); 'g' flag = replace-all, matching Spark's default
         "edit_distance_adjacent": """
             WITH p AS (
-              SELECT doc_id AS a, substr(coalesce(text, ''), 1, 64) AS s
+              SELECT doc_id AS a,
+                     substr(regexp_replace(coalesce(text, ''),
+                            '[^\\x00-\\x7F]', '', 'g'), 1, 64) AS s
               FROM documents)
             SELECT l.a AS a, l.a + 1 AS b,
                    levenshtein(l.s, r.s) AS lev,
@@ -2871,12 +2875,15 @@ def oracle_sql() -> dict[str, str]:
             FROM grams l JOIN grams r ON r.a = l.a + 1
         """,
         # r5b: token-sort JW — sorted first-12-token keys, then the same
-        # jaro_winkler_similarity both engines already agree on
+        # jaro_winkler_similarity both engines already agree on; text
+        # coalesced to '' BEFORE tokenizing (module NULL contract)
         "token_sort_jw_adjacent": f"""
-            WITH p AS (
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            p AS (
               SELECT doc_id AS a,
                      array_to_string(list_sort(({_TOKS})[1:12]), ' ') AS s
-              FROM documents)
+              FROM d)
             SELECT l.a AS a, l.a + 1 AS b,
                    round(jaro_winkler_similarity(l.s, r.s), 6) AS ts_jw
             FROM p l JOIN p r ON r.a = l.a + 1

@@ -327,23 +327,26 @@ def er_blocking_report(
     the two IS the blocking design problem, so the report puts key
     blocking and sorted-neighborhood side by side over the same records.
 
-    Scale shape: every metric is a 1-row aggregate (count of candidates,
-    count of truth pairs, semi-join hit count) crossJoined broadcast-
+    Scale shape: every metric is a 1-row aggregate crossJoined broadcast-
     style — no driver collect, no window; the expensive inputs are the
-    candidate generators themselves, already scale-shaped.
+    candidate generators themselves, already scale-shaped. Candidate
+    count and truth-hit count come from ONE left join + aggregate, so
+    each generator's plan is evaluated once per strategy (Spark does not
+    CSE a plan duplicated across aggregate branches).
     """
     truth = er_truth_pairs(records)
     n_rows = records.select(F.count(F.lit(1)).alias("n"))
     n_truth = truth.select(F.count(F.lit(1)).alias("n_truth"))
 
     def metrics(cand: DataFrame, name: str) -> DataFrame:
-        c = cand.select(F.count(F.lit(1)).alias("n_candidates"))
-        hit = cand.join(truth, ["a", "b"], "left_semi").select(
-            F.count(F.lit(1)).alias("n_hit")
+        agg = cand.join(
+            truth.withColumn("_t", F.lit(1)), ["a", "b"], "left"
+        ).agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count("_t").alias("n_hit"),
         )
         return (
-            c.crossJoin(F.broadcast(hit))
-            .crossJoin(F.broadcast(n_truth))
+            agg.crossJoin(F.broadcast(n_truth))
             .crossJoin(F.broadcast(n_rows))
             .select(
                 F.lit(name).alias("strategy"),

@@ -44,13 +44,13 @@ def word_ngrams_from_tokens(n: int, w):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def ngram_jaccard_adjacent(
-    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+def _adjacent_gram_overlap(
+    docs: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """Jaccard of distinct n-gram sets between each doc and the next id.
-
-    (a, b, jaccard) — deterministic linear pair set; rounded to 6 dp for
-    cross-engine comparability.
+    """(a, b=a+1, inter, na, nb): distinct-n-gram set sizes and overlap
+    between consecutive doc ids — the shared relation behind Jaccard
+    (symmetric) and containment (asymmetric). Single definition so the
+    plan-hygiene rule below can never diverge between the two measures.
     """
     # two-step projection: tokens become a real column BEFORE the per-gram
     # lambda references them, so the tokenizer runs once per doc, not once
@@ -64,13 +64,24 @@ def ngram_jaccard_adjacent(
         (F.col("a") - F.lit(1)).alias("a"),
         F.col("grams_a").alias("grams_b"),
     )
-    joined = grams.join(right, "a").select(
+    return grams.join(right, "a").select(
         "a",
         (F.col("a") + F.lit(1)).alias("b"),
         F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
         F.size("grams_a").alias("na"),
         F.size("grams_b").alias("nb"),
     )
+
+
+def ngram_jaccard_adjacent(
+    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Jaccard of distinct n-gram sets between each doc and the next id.
+
+    (a, b, jaccard) — deterministic linear pair set; rounded to 6 dp for
+    cross-engine comparability.
+    """
+    joined = _adjacent_gram_overlap(docs, n, id_col, text_col)
     union = F.col("na") + F.col("nb") - F.col("inter")
     return joined.select(
         "a",
@@ -105,27 +116,12 @@ def ngram_containment_adjacent(
     the common-crawl quotation pattern), Jaccard is diluted by B's extra
     grams (|A|/|B| at best) while c_ab stays ≈ 1. A near-dup policy that
     also drops contained docs needs this number; symmetric Jaccard
-    cannot express it. Same linear adjacent-pair probe shape and the
-    same materialize-tokens-first plan hygiene as
+    cannot express it. Shares ``_adjacent_gram_overlap`` (and therefore
+    the materialize-tokens-first plan hygiene) with
     ``ngram_jaccard_adjacent``; docs with no n-grams yield containment 0
     (empty gram set is contained in nothing, mirrored by the oracle).
     """
-    toks = docs.select(F.col(id_col).alias("a"), words_col(text_col).alias("_w"))
-    grams = toks.select(
-        "a",
-        F.array_distinct(word_ngrams_from_tokens(n, F.col("_w"))).alias("grams_a"),
-    )
-    right = grams.select(
-        (F.col("a") - F.lit(1)).alias("a"),
-        F.col("grams_a").alias("grams_b"),
-    )
-    joined = grams.join(right, "a").select(
-        "a",
-        (F.col("a") + F.lit(1)).alias("b"),
-        F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
-        F.size("grams_a").alias("na"),
-        F.size("grams_b").alias("nb"),
-    )
+    joined = _adjacent_gram_overlap(docs, n, id_col, text_col)
     contain = lambda denom: F.round(  # noqa: E731
         F.when(F.col(denom) > 0, F.col("inter") / F.col(denom)).otherwise(
             F.lit(0.0)

@@ -47,12 +47,21 @@ def levenshtein_adjacent(
     """(a, b=a+1, lev, lev_sim) over the first ``n_chars`` characters of
     consecutive documents: classic edit distance plus the standard
     normalized similarity 1 - lev/max(len). Entirely JVM-side —
-    ``F.levenshtein`` is a built-in codegen expression (and DuckDB's
-    ``levenshtein`` implements the same classic DP, so the oracle is a
-    direct mirror). The third record-linkage string measure next to
-    Jaro-Winkler (typo-shaped damage) and n-gram Jaccard (reordering):
-    edit distance is the standard gauge for insert/delete damage."""
-    prefix = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, n_chars)
+    ``F.levenshtein`` is a built-in codegen expression. The third
+    record-linkage string measure next to Jaro-Winkler (typo-shaped
+    damage) and n-gram Jaccard (reordering): edit distance is the
+    standard gauge for insert/delete damage.
+
+    Cross-engine unit parity: Spark's levenshtein counts CODEPOINTS
+    while DuckDB's counts UTF-8 BYTES (``levenshtein('é','a')`` is 1 vs
+    2), so the comparison runs over an ASCII projection of the text —
+    non-ASCII chars are dropped on BOTH sides with the same regex before
+    the prefix is taken, making the two units coincide exactly (the same
+    reason the JW kernel is byte-based: functions/jaro_winkler.py)."""
+    ascii_text = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), "[^\\x00-\\x7F]", ""
+    )
+    prefix = F.substring(ascii_text, 1, n_chars)
     left = docs.select(F.col(id_col).alias("a"), prefix.alias("s1"))
     right = docs.select((F.col(id_col) - 1).alias("a"), prefix.alias("s2"))
     lev = F.levenshtein(F.col("s1"), F.col("s2"))
@@ -105,14 +114,20 @@ def token_sort_jw_adjacent(
     "john doe") costs raw JW most of its signal; sorting first removes
     order as a variable while character-level damage still shows.
     Tokens come from the shared analytics tokenizer; sort/join/slice are
-    pure codegen'd array expressions."""
+    pure codegen'd array expressions. NULL text coalesces to '' BEFORE
+    tokenizing (module NULL contract, same as the two siblings above):
+    without it the NULL propagates through sort/join into the kernel's
+    None→'' coalesce while the oracle's jaro_winkler_similarity(NULL, s)
+    stays NULL — a value mismatch on any NULL-text row."""
     from .text_analysis import words_col
 
-    key = F.array_join(
-        F.array_sort(F.slice(words_col(text_col), 1, n_tokens)), " "
+    base = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     )
-    left = docs.select(F.col(id_col).alias("a"), key.alias("s1"))
-    right = docs.select((F.col(id_col) - 1).alias("a"), key.alias("s2"))
+    key = F.array_join(F.array_sort(F.slice(words_col("_t"), 1, n_tokens)), " ")
+    left = base.select(F.col(id_col).alias("a"), key.alias("s1"))
+    right = base.select((F.col(id_col) - 1).alias("a"), key.alias("s2"))
     pairs = left.join(right, "a").select(
         "a", (F.col("a") + 1).alias("b"), "s1", "s2"
     )

@@ -146,13 +146,12 @@ def test_er_sn_recall_on_dirty_fixture(records):
     the name at position >= 4, so base and copy share a 3-char prefix and
     sort near each other. Pin the measured floor (and that the %13 copies
     with damaged PHONES — invisible to the ph: key pass — are found)."""
-    from cpp_near_dedupe_spark.operators.entity_resolution import er_sn_pairs
+    from cpp_near_dedupe_spark.operators.entity_resolution import (
+        er_sn_pairs,
+        er_truth_pairs,
+    )
 
-    true_l = records.select("entity_id", F.col("rec_id").alias("a"))
-    true_r = records.select("entity_id", F.col("rec_id").alias("b"))
-    truth = (
-        true_l.join(true_r, "entity_id").filter(F.col("a") < F.col("b"))
-    ).select("a", "b")
+    truth = er_truth_pairs(records)
     n_truth = truth.count()
     got = er_sn_pairs(records)
     caught = got.join(truth, ["a", "b"], "left_semi").count()
@@ -496,6 +495,7 @@ def test_token_sort_jw_order_insensitive(spark):
         "john doe 42 main street springfield",
         "springfield main street doe john 42",  # same tokens, scrambled
         "springfield main street doe jhon 42",  # + one typo
+        None,  # NULL text must coalesce to '' (module NULL contract)
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -510,3 +510,31 @@ def test_token_sort_jw_order_insensitive(spark):
     assert ts[(0, 1)] == pytest.approx(1.0, abs=1e-6)
     assert raw[(0, 1)] < 0.9
     assert 0.9 < ts[(1, 2)] < 1.0  # typo visible, order not
+    assert ts[(2, 3)] == 0.0  # NULL side coalesces to '' on both engines
+
+
+def test_levenshtein_parity_on_non_ascii(spark):
+    """Spark's levenshtein counts codepoints, DuckDB's counts UTF-8
+    bytes; the shared ASCII projection must make the two engines agree
+    on text the sf fixtures never contain (accents, NULL)."""
+    import duckdb
+
+    rows = [(0, "café crème brûlée"), (1, "cafe creme brulee"),
+            (2, None), (3, "naïve résumé ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from cpp_near_dedupe_spark.operators.string_sim import levenshtein_adjacent
+
+    got = {
+        r["a"]: (r["lev"], r["lev_sim"])
+        for r in levenshtein_adjacent(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    import __spark_entry__ as entry
+
+    oracle = con.execute(entry.oracle_sql()["edit_distance_adjacent"]).fetchall()
+    want = {int(a): (int(lev), float(sim)) for a, _, lev, sim in oracle}
+    assert got == want
+    # the projection really dropped the accents: 'café'->'caf' vs 'cafe'
+    assert got[0][0] > 0
