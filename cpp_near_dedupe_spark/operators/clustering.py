@@ -144,9 +144,16 @@ def connected_components(
     # lazy localCheckpoint + immediate checksum action = ONE Spark job per
     # iteration that both materializes the checkpoint (truncating the
     # logical plan before the next round is built on it) and tests
-    # convergence.
+    # convergence. No separate checksum job on the INPUT (r6): round 1 is
+    # built immediately on the lazy input checkpoint and the first
+    # checksum job materializes both — one driver job saved on every CC
+    # invocation (8 headline queries call this). Convergence detection is
+    # unchanged: two successive equal checksums mean the edge set is a
+    # fixpoint (each star round strictly decreases the Kiveris potential,
+    # so cycles cannot exist); an already-converged input just confirms on
+    # the second job, exactly as before.
     cur = _canonicalize(edges, distinct_pairs).localCheckpoint(eager=False)
-    prev_sum = _checksum(cur)
+    prev_sum: tuple[int, int] | None = None
     converged = False
     for i in range(max_iterations):
         # First iteration: ONE star round (the big shrink — checkpointing
@@ -157,8 +164,11 @@ def connected_components(
         # odd-round fixpoint just makes the extra round a no-op; the
         # checksum still stabilizes one job later.
         # per-round physical choice from the edge count the previous
-        # checksum already measured (see the formulation comment above)
-        uw = prev_sum[0] <= _WINDOW_EDGE_CAP
+        # checksum already measured (see the formulation comment above).
+        # Round 1 has no measured count yet and uses the scale-safe
+        # groupBy+join form — the first round is the largest one, exactly
+        # where a mega-hub window task would be the hazard.
+        uw = prev_sum is not None and prev_sum[0] <= _WINDOW_EDGE_CAP
         nxt = _small_star(_large_star(cur, uw), uw)
         if i > 0:
             nxt = _small_star(_large_star(nxt, uw), uw)

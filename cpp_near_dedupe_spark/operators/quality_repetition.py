@@ -48,6 +48,7 @@ extends the training-data surface built on top of it.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -131,6 +132,119 @@ def repetition_counts(toks, lines, paras) -> list:
     return out
 
 
+def _flatten(seqs) -> tuple[np.ndarray, np.ndarray]:
+    """list of per-doc string sequences → (flat object array, per-doc
+    counts). Empty-total batches yield an empty object array."""
+    m = len(seqs)
+    counts = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=m)
+    if counts.sum() == 0:
+        return np.empty(0, dtype=object), counts
+    flat = np.concatenate(
+        [np.asarray(s, dtype=object) for s in seqs if len(s)]
+    )
+    return flat, counts
+
+
+def repetition_counts_batch(toks_list, lines_list, paras_list) -> np.ndarray:
+    """(m, 15) int64 — the batch-GLOBAL vectorized twin of the per-doc
+    ``repetition_counts`` loop (pinned element-equal by
+    tests/test_quality_repetition.py). Same design as the simhash batch
+    kernel (operators/simhash.py): all documents of the Arrow batch are
+    processed in a handful of whole-batch numpy/pandas passes instead of
+    dozens of small dict loops per document.
+
+    * strings are interned ONCE per batch with ``pd.factorize`` (khash,
+      C-speed) — exact, no hashing shortcuts;
+    * line/paragraph duplicate stats: one ``np.unique`` over packed
+      (doc, string-id) int64 keys + ``np.bincount`` segment aggregation;
+    * n-gram stats (9 sizes): iterative gram interning — the id of the
+      n-gram ending at position i is ``factorize(id_{n-1}[i-1] · U +
+      tok[i])``, one O(N) khash pass per level (the classic suffix-
+      doubling-style trick, no wide-row sorts); per-(doc, gram) counts
+      from one int64 ``np.unique`` per counted level, then per-doc
+      max/sum via ``np.maximum.at`` / ``np.bincount`` over unique grams.
+      Positions whose within-doc offset < n-1 carry garbage ids (their
+      window would span a doc boundary) and are masked out before
+      counting; they cannot corrupt later levels because a position is
+      valid at level n only if its predecessor was valid at level n-1.
+    """
+    m = len(toks_list)
+    out = np.zeros((m, 15), dtype=np.int64)
+    if m == 0:
+        return out
+
+    # --- line / paragraph duplicate stats (columns 0..5) -------------------
+    for base, seqs in ((0, lines_list), (3, paras_list)):
+        flat, counts = _flatten(seqs)
+        out[:, base] = counts  # n_lines / n_paras
+        if not len(flat):
+            continue
+        codes, uniques = pd.factorize(flat)
+        seg_lens = np.fromiter(
+            (len(s) for s in uniques), dtype=np.int64, count=len(uniques)
+        )
+        doc_idx = np.repeat(np.arange(m, dtype=np.int64), counts)
+        key = doc_idx * np.int64(len(uniques)) + codes
+        ukey, c = np.unique(key, return_counts=True)
+        udoc = ukey // len(uniques)
+        uln = seg_lens[ukey % len(uniques)]
+        # dup count beyond first = n - distinct
+        out[:, base + 1] = counts - np.bincount(udoc, minlength=m)
+        out[:, base + 2] = np.bincount(
+            udoc, weights=(c - 1) * uln, minlength=m
+        ).astype(np.int64)
+
+    # --- word n-gram stats (columns 6..14) ---------------------------------
+    flat_toks, tok_counts = _flatten(toks_list)
+    if not len(flat_toks):
+        return out
+    n_tok = len(flat_toks)
+    tok_codes, tok_uniques = pd.factorize(flat_toks)
+    tok_codes = tok_codes.astype(np.int64)
+    n_vocab = np.int64(len(tok_uniques))
+    tok_lens = np.fromiter(
+        (len(t) for t in tok_uniques), dtype=np.int64, count=len(tok_uniques)
+    )
+    # global char prefix over the concatenated stream (doc spans are
+    # contiguous, so within-doc differences equal the per-doc prefix sums)
+    gpre = np.zeros(n_tok + 1, dtype=np.int64)
+    np.cumsum(tok_lens[tok_codes], out=gpre[1:])
+    doc_start = np.zeros(m, dtype=np.int64)
+    np.cumsum(tok_counts[:-1], out=doc_start[1:])
+    tok_doc = np.repeat(np.arange(m, dtype=np.int64), tok_counts)
+    # within-doc position of every token (0-based)
+    offset = np.arange(n_tok, dtype=np.int64) - np.repeat(doc_start, tok_counts)
+
+    col_of = {2: 6, 3: 7, 4: 8, 5: 9, 6: 10, 7: 11, 8: 12, 9: 13, 10: 14}
+    gram_id = tok_codes  # level-1 gram id ending at position i
+    for n in range(2, max(_NGRAM_NS) + 1):
+        prev = np.empty(n_tok, dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = gram_id[:-1]
+        gram_id, _ = pd.factorize(prev * n_vocab + tok_codes)
+        if n not in col_of:
+            continue
+        valid = np.flatnonzero(offset >= n - 1)  # window fits in the doc
+        if not len(valid):
+            continue
+        key = gram_id[valid] * np.int64(m) + tok_doc[valid]
+        ukey, first, c = np.unique(key, return_index=True, return_counts=True)
+        vi = valid[first]  # flat END position of one occurrence
+        udoc = ukey % m
+        uchars = gpre[vi + 1] - gpre[vi - n + 1] + n - 1
+        v = c * uchars
+        col = col_of[n]
+        if n <= 4:  # top-n-gram rules: max over grams of freq × chars
+            np.maximum.at(out[:, col], udoc, v)
+        else:  # dup-n-gram rules: Σ over grams with freq ≥ 2
+            dup_mask = c >= 2
+            if dup_mask.any():
+                out[:, col] = np.bincount(
+                    udoc[dup_mask], weights=v[dup_mask], minlength=m
+                ).astype(np.int64)
+    return out
+
+
 def gopher_repetition_filter(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -139,11 +253,10 @@ def gopher_repetition_filter(
 
     @F.pandas_udf(struct_type)
     def _kernel(toks: pd.Series, lines: pd.Series, paras: pd.Series) -> pd.DataFrame:
-        rows = [
-            repetition_counts(t, l, p)
-            for t, l, p in zip(toks.tolist(), lines.tolist(), paras.tolist())
-        ]
-        return pd.DataFrame(rows, columns=_COUNT_FIELDS, dtype="int64")
+        counts = repetition_counts_batch(
+            toks.tolist(), lines.tolist(), paras.tolist()
+        )
+        return pd.DataFrame(counts, columns=_COUNT_FIELDS)
 
     t = F.coalesce(F.col(text_col), F.lit(""))
     w = F.array_remove(F.split(F.lower(t), _WORD_SPLIT), "")

@@ -97,6 +97,12 @@ def clean_corpus_stages(
         )
     )
 
+    # s2/s3 are deliberately NOT persisted (r6 A/B, OPTIMIZATION_r06.md):
+    # the extract_text regex chain does re-run once per consuming report
+    # branch, but it fuses into each branch's codegen stage and the
+    # persisted variant measured ~25% SLOWER end-to-end (persist
+    # materialization of the html+text columns + broken fusion cost more
+    # than the re-derivation saves; s1 above caps the recompute depth).
     s2 = s1.select(
         "canonical_url",
         "html",

@@ -274,14 +274,19 @@ def dedupe_increment(
         edges_in.select("a", "b"), cfg.cc_max_iterations, distinct_pairs=True
     )
     resolved = resolve_clusters(new_docs, clusters, cfg)
-    batch_kept = new_docs.join(
-        resolved.filter(F.col("is_kept")).select(id_col), id_col, "left_semi"
+    # survivor-ID persists (r6): the within-batch kept set feeds the state
+    # scoring joins, BOTH state appends, and the returned kept relation —
+    # unpersisted, each consumer re-ran the whole resolve subtree (docs ⋈
+    # clusters → min-agg → join-back), measured ~3 extra resolve passes per
+    # epoch. The persisted relation is one slim id column per batch, the
+    # same registry/lifecycle as the sketch persists above.
+    kept_ids = track(
+        resolved.filter(F.col("is_kept")).select(id_col)
     )
 
     # 2. score batch survivors against the retained state (reference
     # semantics: incoming doc vs retained uniques sharing >=1 band)
     if state.exists():
-        kept_ids = batch_kept.select(id_col)
         sigs_kept = sigs_new.join(kept_ids, id_col, "left_semi")
         bands_kept = bands_new.join(kept_ids, id_col, "left_semi")
         cand = (
@@ -305,15 +310,18 @@ def dedupe_increment(
             F.col("jaccard") >= F.lit(cfg.threshold)
         )
         dup_ids = matches.select(F.col("a").alias(id_col)).distinct()
-        batch_kept = batch_kept.join(dup_ids, id_col, "left_anti")
+        # final survivors = within-batch keepers minus state matches; one
+        # slim persisted id relation shared by the appends and the return
+        survivor_ids = track(kept_ids.join(dup_ids, id_col, "left_anti"))
+    else:
+        survivor_ids = kept_ids
 
     # 3. append survivors to state
-    survivor_ids = batch_kept.select(id_col)
     state.append(
         sigs_new.join(survivor_ids, id_col, "left_semi"),
         bands_new.join(survivor_ids, id_col, "left_semi"),
     )
-    return batch_kept
+    return new_docs.join(survivor_ids, id_col, "left_semi")
 
 
 def _dedupe_increment_strict(
@@ -328,6 +336,7 @@ def _dedupe_increment_strict(
     """strict_order=True body: state-match first, then arrival-order greedy
     over the remaining docs (see dedupe_increment docstring for the proof
     sketch that this equals the reference's per-doc pass)."""
+    from ..cache import track
     from ..operators.greedy import greedy_resolve
 
     id_col = cfg.id_col
@@ -352,7 +361,14 @@ def _dedupe_increment_strict(
         matches = score_fn(cand, all_sigs, cfg).filter(
             F.col("jaccard") >= F.lit(cfg.threshold)
         )
-        state_dropped = matches.select(F.col("a").alias(id_col)).distinct()
+        # slim persisted id relation: the state-dropped set feeds the
+        # live-docs anti-join whose result is consumed twice below (band
+        # restriction + the greedy doc list) — unpersisted, the whole
+        # state-scoring join re-ran per consumer (r6, same rationale as
+        # the default path's survivor-id persist)
+        state_dropped = track(
+            matches.select(F.col("a").alias(id_col)).distinct()
+        )
         live_docs = new_docs.join(state_dropped, id_col, "left_anti")
 
     live_ids = live_docs.select(id_col)
@@ -362,15 +378,14 @@ def _dedupe_increment_strict(
         F.col("jaccard") >= F.lit(cfg.threshold)
     )
     out = greedy_resolve(live_docs.select(id_col), edges_in.select("a", "b"), cfg)
-    batch_kept = new_docs.join(
-        out.filter(F.col("is_kept")).select(id_col), id_col, "left_semi"
-    )
-    survivor_ids = batch_kept.select(id_col)
+    # survivor-ID persist (r6): shared by both state appends and the
+    # returned kept relation — see dedupe_increment
+    survivor_ids = track(out.filter(F.col("is_kept")).select(id_col))
     state.append(
         sigs_new.join(survivor_ids, id_col, "left_semi"),
         bands_new.join(survivor_ids, id_col, "left_semi"),
     )
-    return batch_kept
+    return new_docs.join(survivor_ids, id_col, "left_semi")
 
 
 def stream_dedupe(

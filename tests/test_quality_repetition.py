@@ -176,6 +176,41 @@ def test_kernel_ngram_stats_match_bruteforce():
             assert _ngram_stats(toks, n) == (top, dup), (trial, n, toks)
 
 
+def test_batch_kernel_matches_perdoc_kernel():
+    """repetition_counts_batch (r6 batch-global vectorized kernel) is
+    element-equal to the per-doc repetition_counts loop on adversarial
+    random batches — empty docs, no-token docs, heavy repetition, mixed."""
+    import random
+
+    import numpy as np
+
+    from cpp_near_dedupe_spark.operators.quality_repetition import (
+        repetition_counts,
+        repetition_counts_batch,
+    )
+
+    rng = random.Random(17)
+    vocab = ["a", "bb", "ccc", "dddd", "e", "ff", "naïve", "x1"]
+    lines_vocab = ["", "x", "same line", "other", "  "]
+    for _ in range(20):
+        m = rng.randint(0, 12)
+        toks_l, lines_l, paras_l = [], [], []
+        for _ in range(m):
+            toks_l.append([rng.choice(vocab) for _ in range(rng.randint(0, 30))])
+            lines_l.append([rng.choice(lines_vocab) for _ in range(rng.randint(1, 8))])
+            paras_l.append([rng.choice(lines_vocab) for _ in range(rng.randint(1, 5))])
+        got = repetition_counts_batch(toks_l, lines_l, paras_l)
+        exp = np.array(
+            [
+                repetition_counts(t, l, p)
+                for t, l, p in zip(toks_l, lines_l, paras_l)
+            ],
+            dtype=np.int64,
+        ).reshape(m, 15)
+        assert got.shape == (m, 15)
+        assert (got == exp).all(), (got.tolist(), exp.tolist())
+
+
 def test_kernel_seg_counts_match_bruteforce():
     import random
     from collections import Counter
