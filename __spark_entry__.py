@@ -896,6 +896,10 @@ def _aug_emb(spark, sf_dir):
     copies = base.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), shifted.alias("v")
     )
+    # deliberately NOT persisted (r6 interleaved A/B): the relation feeds
+    # 3-4 plan branches, but the scan + perturbation transform are cheap
+    # codegen and re-deriving them measured within noise of persisting —
+    # the unpersisted plan keeps each branch fused
     return base.unionByName(copies)
 
 

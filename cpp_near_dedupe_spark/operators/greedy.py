@@ -148,8 +148,18 @@ def _component_dropped(
     sizes = tagged.groupBy("comp").agg(F.count("*").alias("n"))
     big = sizes.filter(F.col("n") > component_cap).select("comp")
     # the big list is empty in practice (a >cap-member duplicate FAMILY
-    # means the corpus is degenerate); broadcast routing either way
-    small = tagged.join(F.broadcast(big), "comp", "left_anti")
+    # means the corpus is degenerate) and BOUNDED by construction (at most
+    # total_edges / component_cap ids), so collect it once: the common
+    # empty case then skips the routing anti-join entirely instead of
+    # re-running the size aggregation in both the probe job and the final
+    # job (r6 — the probe was a limit(1).count() whose work the decision
+    # branches then repeated).
+    big_ids = [r["comp"] for r in big.collect()]
+    small = (
+        tagged
+        if not big_ids
+        else tagged.filter(~F.col("comp").isin(big_ids))
+    )
 
     def resolve(pdf: pd.DataFrame) -> pd.DataFrame:
         out_ids, out_kept = [], []
@@ -165,14 +175,13 @@ def _component_dropped(
     decided = small.groupBy("comp").applyInPandas(resolve, "id long, is_kept boolean")
     dropped = decided.filter(~F.col("is_kept")).select("id")
 
-    n_big = big.limit(1).count()
-    if n_big:
+    if big_ids:
         if engine == "pandas":
             raise ValueError(
                 f"a duplicate component exceeds component_cap={component_cap}; "
                 "use engine='auto' (frontier fallback) for degenerate graphs"
             )
-        big_edges = tagged.join(F.broadcast(big), "comp", "left_semi").select("a", "b")
+        big_edges = tagged.filter(F.col("comp").isin(big_ids)).select("a", "b")
         big_dropped = _frontier_dropped(
             big_edges.localCheckpoint(eager=False), max_rounds
         )

@@ -111,9 +111,14 @@ def clean_corpus_stages(
 
     s3 = s2.filter(gopher_passes("text")).select("canonical_url", "text")
 
+    # _pii_hit is computed HERE (one codegen pass, persisted with the
+    # stage) so the report's "rows the scrub changed" count needs neither
+    # a join back to s3 nor a second extract_text evaluation (r6)
     s4 = track(
         s3.select(
-            "canonical_url", pii_scrub_expr("text").alias("text")
+            "canonical_url",
+            pii_scrub_expr("text").alias("text"),
+            (pii_scrub_expr("text") != F.col("text")).alias("_pii_hit"),
         )
     )
 
@@ -203,6 +208,14 @@ def clean_corpus_report(spark, pages, bench=None, **kw) -> DataFrame:
             (F.col("_n_before") - F.col("n_docs")).alias("n_changed"),
         )
 
+    # Count sourcing (r6): stages that are 1:1 row-preserving selections of
+    # each other share counts, so the count-only branches read the nearest
+    # PERSISTED stage instead of re-deriving the extract_text chain —
+    # |html_extract| = |url_dedupe| and |quality_gate| = |pii_scrub| by
+    # construction, so the reported rows are identical while the report
+    # evaluates extract_text once (the html_extract changed-text branch)
+    # instead of four times. The pii row reads the _pii_hit flag persisted
+    # with s4 — no join back to the quality-gate text.
     rows = [
         row(0, "input", st["input"]),
         drop_row(1, "url_dedupe", st["url_dedupe"], st["input"]),
@@ -212,18 +225,8 @@ def clean_corpus_report(spark, pages, bench=None, **kw) -> DataFrame:
             st["html_extract"],
             F.col("text") != F.col("html").cast("string"),
         ),
-        drop_row(3, "quality_gate", st["quality_gate"], st["html_extract"]),
-        row(
-            4,
-            "pii_scrub",
-            st["pii_scrub"].join(
-                st["quality_gate"].select(
-                    "canonical_url", F.col("text").alias("_before")
-                ),
-                "canonical_url",
-            ),
-            F.col("text") != F.col("_before"),
-        ),
+        drop_row(3, "quality_gate", st["pii_scrub"], st["url_dedupe"]),
+        row(4, "pii_scrub", st["pii_scrub"], F.col("_pii_hit")),
         row(5, "boilerplate", st["boilerplate"], F.col("_boiler_hit")),
         drop_row(6, "near_dedupe", st["near_dedupe"], st["boilerplate"]),
     ]
