@@ -1228,7 +1228,11 @@ def _q_lsh_sql_greedy_kept(spark, sf_dir):
 
     docs = _chain_docs(spark, sf_dir)
     res = run_sql_pipeline(spark, docs, CFG, stop_after="edges")
-    out = greedy_resolve(docs, res.edges.select("a", "b"), CFG)
+    # distinct_pairs: the pipeline's pair generator ends in dropDuplicates
+    # and the scoring joins are 1:1, so the edge set is already distinct
+    out = greedy_resolve(
+        docs, res.edges.select("a", "b"), CFG, distinct_pairs=True
+    )
     return out.filter(F.col("is_kept")).select("doc_id")
 
 
@@ -1351,7 +1355,12 @@ def _q_lsh_greedy_kept(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     res = run_pipeline(spark, docs, CFG, stop_after="edges")
-    out = greedy_resolve(docs, res.edges.select("a", "b"), CFG)
+    # distinct_pairs: scored rep-rep pairs (post-dropDuplicates) and the
+    # identical-sketch member edges are disjoint unordered-pair sets, so
+    # the union is already distinct
+    out = greedy_resolve(
+        docs, res.edges.select("a", "b"), CFG, distinct_pairs=True
+    )
     return out.filter(F.col("is_kept")).select("doc_id")
 
 

@@ -536,7 +536,11 @@ def semantic_dedupe(
         vec_col=vec_col,
         **pair_kwargs,
     )
-    comp = connected_components(pairs.select("a", "b"))
+    # distinct_pairs: both generators emit distinct (a < b) pairs (the
+    # exact path by construction, the LSH path via capped_star_pairs'
+    # dropDuplicates followed by 1:1 rescore joins) — skips CC's
+    # canonicalizing dedup shuffle (r6)
+    comp = connected_components(pairs.select("a", "b"), distinct_pairs=True)
     ids = embeddings.select(F.col(id_col))
     joined = ids.join(comp, ids[id_col] == comp["id"], "left")
     cluster = F.coalesce(comp["cluster_id"], ids[id_col])

@@ -213,8 +213,11 @@ def er_clusters(
     """(rec_id, cluster_id) for EVERY record; singletons map to
     themselves. cluster_id = min rec_id of the entity's component
     (= the base record, by rec_id construction)."""
+    # distinct_pairs: er_candidate_pairs ends in dropDuplicates and the
+    # scoring joins are 1:1 per pair, so the match edges are already
+    # distinct as sets — skips CC's canonicalizing dedup shuffle (r6)
     edges = er_matches(records, threshold, cap).select("a", "b")
-    cc = connected_components(edges)
+    cc = connected_components(edges, distinct_pairs=True)
     return (
         records.select("rec_id")
         .join(cc.withColumnRenamed("id", "rec_id"), "rec_id", "left")
@@ -237,9 +240,19 @@ def er_golden_records(
     broadcast-sized join back to the slim records relation — no window.
     """
     clusters = er_clusters(records, threshold, cap)
-    agg = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.min("rec_id").alias("rep_id"),
+    # single-pass survivorship (r6): membership count, representative id
+    # and best-evidence balance come from ONE join + ONE hash aggregation
+    # (the records join is 1:1 per membership row, so count(*) is still
+    # the member count) — the earlier two-branch formulation re-derived
+    # the cluster relation and shuffled it twice
+    agg = (
+        clusters.join(records.select("rec_id", "bal"), "rec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("rec_id").alias("rep_id"),
+            F.round(F.max("bal"), 2).alias("max_bal"),
+        )
     )
     rep = records.select(
         F.col("rec_id").alias("rep_id"),
@@ -247,16 +260,8 @@ def er_golden_records(
         F.col("phone").alias("rep_phone"),
         F.col("segment").alias("rep_segment"),
     )
-    bal = (
-        clusters.join(
-            records.select("rec_id", "bal"), "rec_id"
-        )
-        .groupBy("cluster_id")
-        .agg(F.round(F.max("bal"), 2).alias("max_bal"))
-    )
     return (
         agg.join(rep, "rep_id")
-        .join(bal, "cluster_id")
         .select(
             "cluster_id",
             "rep_id",

@@ -57,6 +57,7 @@ def greedy_resolve(
     max_rounds: int = 60,
     engine: str = "auto",
     component_cap: int = 1_000_000,
+    distinct_pairs: bool = False,
 ) -> DataFrame:
     """docs × duplicate edges (a, b) → (id, is_kept) for ALL docs, under
     the reference's arrival-order semantics (arrival order = ascending
@@ -74,16 +75,24 @@ def greedy_resolve(
     "frontier" = parallel rounds only (bounded by ``max_rounds``);
     "pandas" = per-component only (raises if any component exceeds the
     cap).
+
+    ``distinct_pairs=True`` skips the canonicalizing dedup shuffle when
+    the caller guarantees the input edges are already distinct as
+    UNORDERED pairs (the pipeline's pair generators end in
+    dropDuplicates, so their edge sets qualify) — same contract as
+    ``connected_components(distinct_pairs=...)``. Duplicate edges would
+    not change any keep/drop decision (the drop rule is an existence
+    test), only inflate the joins, so the flag is a physical choice.
     """
     if engine not in ("auto", "frontier", "pandas"):
         raise ValueError(f"unknown greedy engine {engine!r}")
     id_col = cfg.id_col
-    e = (
-        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    e = edges.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    if not distinct_pairs:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
 
     if engine == "frontier":
         dropped = _frontier_dropped(e, max_rounds)

@@ -77,8 +77,13 @@ def tfidf_cosine_pairs(
     from ..cache import track
 
     w = track(tfidf_weights(docs, id_col, text_col))
-    nrm = w.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    # nrm feeds both norm-lookup joins; persisted (slim: one row per doc)
+    # so the norm aggregation runs ONE pass over the corpus-sized posting
+    # relation instead of one per join side (r6)
+    nrm = track(
+        w.groupBy(id_col).agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+        )
     )
     lhs = w.select(F.col(id_col).alias("a"), "tok", F.col("w").alias("wa"))
     rhs = w.select(F.col(id_col).alias("b"), "tok", F.col("w").alias("wb"))

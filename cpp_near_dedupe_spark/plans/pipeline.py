@@ -182,7 +182,11 @@ def run_pipeline(
     # clusters feeds resolve's clustered-join, reps aggregation AND the
     # singleton anti-join (3 consumers). bands feeds the bucket_sizes
     # aggregation plus the cold/hot branches under BOTH topologies.
-    multi_consumer = {"signatures", "sig_reps", "bands", "clusters", "resolved"}
+    # "resolved" is NOT here (r6): every caller consumes it exactly once
+    # (audited: entry/queries/dedupe_output all reference it in a single
+    # plan branch), so persisting it only added a cache write of the
+    # widest per-doc relation.
+    multi_consumer = {"signatures", "sig_reps", "bands", "clusters"}
 
     def stage(name: str, make) -> DataFrame:
         if store is None:

@@ -96,8 +96,27 @@ class SignatureState:
         return self.spark.read.parquet(self.bands_path)
 
     def append(self, signatures: DataFrame, bands: DataFrame) -> None:
-        signatures.write.mode("append").parquet(self.sig_path)
-        bands.write.mode("append").parquet(self.bands_path)
+        # the two appends are independent jobs on different directories;
+        # submitting them from two driver threads lets the second job's
+        # tasks back-fill executors freed by the first one's tail (the
+        # standard overlap-independent-jobs pattern) instead of paying two
+        # full job latencies back to back (r6). Callers persist the shared
+        # survivor-id input, so concurrent materialization is computed
+        # once (Spark block manager serializes the cache fill).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fs = [
+                ex.submit(
+                    lambda df=df, path=path: df.write.mode("append").parquet(path)
+                )
+                for df, path in (
+                    (signatures, self.sig_path),
+                    (bands, self.bands_path),
+                )
+            ]
+            for f in fs:
+                f.result()
 
     def compact(self, target_partitions: int | None = None) -> None:
         """Rewrite the state dirs into ``target_partitions`` files each.
@@ -377,7 +396,14 @@ def _dedupe_increment_strict(
     edges_in = score_fn(pairs_in, sigs_new, cfg).filter(
         F.col("jaccard") >= F.lit(cfg.threshold)
     )
-    out = greedy_resolve(live_docs.select(id_col), edges_in.select("a", "b"), cfg)
+    # distinct_pairs: candidate_pairs ends in dropDuplicates and the
+    # scoring joins are 1:1 per pair
+    out = greedy_resolve(
+        live_docs.select(id_col),
+        edges_in.select("a", "b"),
+        cfg,
+        distinct_pairs=True,
+    )
     # survivor-ID persist (r6): shared by both state appends and the
     # returned kept relation — see dedupe_increment
     survivor_ids = track(out.filter(F.col("is_kept")).select(id_col))
