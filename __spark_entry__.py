@@ -1388,25 +1388,62 @@ def _q_lsh_bands_rbs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is part of the verification surface (r6, VERDICT r5
+    # #1): the driver's correctness gate checks the FIRST 50 entries, so
+    # oracle-backed queries that have never had a driver row (the r5 ER /
+    # crawl / quality / composition additions), stale-green rows whose
+    # modules changed since their last check, and every query this
+    # optimization round touched are front-loaded inside the window. The
+    # 11 rows-only parity queries and the longest-stable hash-green
+    # analytics move to the back: they are pinned by their sql-mode twins
+    # and the local test suite either way. Query semantics and oracle SQL
+    # are byte-identical to r5 — only dict insertion order changed.
     raw = {
-        # the near-dedupe pipeline chain (SURVEY.md §2: S/T/B/J/C/O
-        # operators). Rows-only by nature: the reference-parity hash family
-        # (XXH64 over UTF-16 of the bitset-tokenized text) is not
-        # SQL-expressible, so no DuckDB oracle can exist; these are pinned
-        # by golden vectors + property tests (tests/golden/*, SURVEY §5)
-        # and by the lsh_sql_* twins below, which drive the SAME
-        # pairing/CC/resolve operator objects under an md5 family DuckDB
-        # computes — hash-green there verifies the shared machinery.
-        "lsh_signatures": _q_lsh_signatures,
-        "lsh_bands": _q_lsh_bands,
-        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
-        "lsh_dupe_edges": _q_lsh_dupe_edges,
-        "lsh_clusters": _q_lsh_clusters,
-        "lsh_dedupe_kept": _q_lsh_dedupe_kept,
-        "lsh_dedupe_32bit": _q_lsh_dedupe_32bit,
-        "lsh_bands_rbs": _q_lsh_bands_rbs,
+        # r5 record-linkage chain over the customer table — blocking, JW
+        # scoring, transitive clusters, golden records, sorted-
+        # neighborhood, blocking metrics; every stage has a full DuckDB
+        # oracle, none ever had a driver correctness row before r6
+        "er_records": _q_er_records,
+        "er_candidate_pairs": _q_er_candidate_pairs,
+        "er_matches": _q_er_matches,
+        "er_clusters": _q_er_clusters,
+        "er_golden_records": _q_er_golden_records,
+        "er_sn_pairs": _q_er_sn_pairs,
+        "er_sn_matches": _q_er_sn_matches,
+        "er_blocking_report": _q_er_blocking_report,
+        "er_matches_combined": _q_er_matches_combined,
+        # r5 crawl-pipeline shaping stages (never driver-checked)
+        "html_extract_text": _q_html_extract_text,
+        "pii_scrub": _q_pii_scrub,
+        "domain_cap_sample": _q_domain_cap_sample,
+        "hash_split": _q_hash_split,
+        "crawl_delta": _q_crawl_delta,
+        # r5 SemDeDup / decontamination / span dedup / telemetry /
+        # composition (never driver-checked)
+        "semantic_dedupe": _q_semantic_dedupe,
+        "ngram_contamination": _q_ngram_contamination,
+        "duplicate_spans": _q_duplicate_spans,
+        "dedupe_report": _q_dedupe_report,
+        "web_clean_report": _q_web_clean_report,
+        # green in r4 but their modules changed in r5 without a re-check
+        "ann_topk": _q_ann_topk,
+        "embedding_dupe_pairs": _q_embedding_dupe_pairs,
+        "simhash_sql": _q_simhash_sql,
+        "simhash_sql_pairs": _q_simhash_sql_pairs,
+        "binary_features": _q_binary_features,
+        "frame_offsets": _q_frame_offsets,
+        # oracle-backed queries whose code paths this optimization round
+        # touched (incremental survivor-id persists + threaded appends,
+        # greedy distinct_pairs, CC checksum fusion, repetition batch
+        # kernel, TF-IDF norm persist, web report count sourcing)
+        "incremental_sql_dedupe": _q_incremental_sql_dedupe,
+        "incremental_sql_strict": _q_incremental_sql_strict,
+        "lsh_sql_greedy_kept": _q_lsh_sql_greedy_kept,
+        "gopher_repetition": _q_gopher_repetition,
+        "tfidf_cosine_adjacent": _q_tfidf_cosine_adjacent,
         # the SQL-expressible chain: same topology + shared pairing/CC/
-        # resolve operators, md5 hash family -> full DuckDB oracles
+        # resolve operators, md5 hash family -> full DuckDB oracles (CC
+        # and the resolve tail changed this round -> kept in-window)
         "lsh_sql_signatures": _q_lsh_sql_signatures,
         "lsh_sql_bands": _q_lsh_sql_bands,
         "lsh_sql_candidate_pairs": _q_lsh_sql_candidate_pairs,
@@ -1418,23 +1455,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_sql_pairs_dense": _q_lsh_sql_pairs_dense,
         "lsh_sql_pairs_capped": _q_lsh_sql_pairs_capped,
         "lsh_sql_pairs_chain": _q_lsh_sql_pairs_chain,
-        # greedy resolve over the chained corpus: its recursive-CTE oracle
-        # replays the same frontier fixed-point, and the fixture's a~b~c
-        # chains make greedy provably differ from CC there
-        "lsh_sql_greedy_kept": _q_lsh_sql_greedy_kept,
+        # .arrow ingestion + the full read→dedupe→write→read roundtrip
+        # (the roundtrip runs the shared sql chain incl. this round's CC)
         "arrow_ipc_scan": _q_arrow_ipc_scan,
         "arrow_ipc_roundtrip": _q_arrow_ipc_roundtrip,
         "minhash_perm_signatures": _q_minhash_perm_signatures,
-        "incremental_dedupe": _q_incremental_dedupe,
-        # same incremental machinery under the md5 family -> full DuckDB
-        # oracle replaying the batch-sequential pass (r5, VERDICT r4 #4)
-        "incremental_sql_dedupe": _q_incremental_sql_dedupe,
-        "incremental_sql_strict": _q_incremental_sql_strict,
-        "lsh_greedy_kept": _q_lsh_greedy_kept,
-        # rows-only: scores XXH64-parity sketches (not SQL-expressible);
-        # its value is the LSH ⊆ brute-force containment property test
-        "brute_force_dupe_pairs": _q_brute_force_dupe_pairs,
-        # training-data ops
+        # r5: the north-star pages input shape end-to-end (url identity;
+        # runs the shared chain + CC)
+        "pages_dedupe": _q_pages_dedupe,
+        "pages_dedupe_first_seen": _q_pages_dedupe_first_seen,
+        # r5: URL canonicalization / crawl-identity dedup / domain stats
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedupe_kept": _q_url_dedupe_kept,
+        "url_domain_stats": _q_url_domain_stats,
+        # r5/r5b quality + fluency rows rounding out the 50-row window
+        "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
+        "lm_fluency": _q_lm_fluency,
+        # ---- position 51+ (outside the driver's 50-row gate) ----------
+        # long-stable hash-green analytics, unchanged since r4/r5 and
+        # still pinned by tools/check_queries.py + the local test suite
         "exact_dedupe": _q_exact_dedupe,
         "exact_dupe_groups": _q_exact_dupe_groups,
         "doc_stats": _q_doc_stats,
@@ -1444,95 +1484,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "bpe_token_stats": _q_bpe_token_stats,
         "ngram_jaccard_adjacent": _q_ngram_jaccard_adjacent,
-        # r5: C4/RefinedWeb corpus-wide repeated-line removal (full oracle)
         "repeated_line_removal": _q_repeated_line_removal,
-        # r5: Gopher-rule hard quality gate (integer arithmetic -> exact
-        # DuckDB mirror; corpus adorned so every rule is non-vacuous)
-        "gopher_quality": _q_gopher_quality,
-        "gopher_repetition": _q_gopher_repetition,
-        "c4_clean": _q_c4_clean,
         "jaro_winkler_adjacent": _q_jaro_winkler_adjacent,
-        # r5b: two more classic pairwise similarity measures, both full
-        # oracles — edit distance (built-in DP both engines) and TF-IDF
-        # cosine (posting-list groupBy/join, smoothed idf)
         "edit_distance_adjacent": _q_edit_distance_adjacent,
-        "tfidf_cosine_adjacent": _q_tfidf_cosine_adjacent,
-        # r5b: the CCNet perplexity-filter slot — self-trained bigram LM
-        # fluency score (full oracle; KenLM seam documented in-module)
-        "lm_fluency": _q_lm_fluency,
-        # r5b: asymmetric containment (subset-duplication detection) and
-        # order-insensitive token-sort JW, both full oracles
         "ngram_containment_adjacent": _q_ngram_containment_adjacent,
         "token_sort_jw_adjacent": _q_token_sort_jw_adjacent,
-        # r5: the north-star pages input shape end-to-end (url identity)
-        "pages_dedupe": _q_pages_dedupe,
-        "pages_dedupe_first_seen": _q_pages_dedupe_first_seen,
-        # r5: URL canonicalization / crawl-identity dedup / domain stats
-        "url_canonicalize": _q_url_canonicalize,
-        "url_dedupe_kept": _q_url_dedupe_kept,
-        "url_domain_stats": _q_url_domain_stats,
-        "html_extract_text": _q_html_extract_text,
-        "pii_scrub": _q_pii_scrub,
-        "domain_cap_sample": _q_domain_cap_sample,
-        "hash_split": _q_hash_split,
-        "crawl_delta": _q_crawl_delta,
-        # r5: record-linkage chain over the customer table (the tier's
-        # namesake) — blocking, JW-blend scoring, transitive clusters,
-        # golden records; every stage has a full DuckDB oracle
-        "er_records": _q_er_records,
-        "er_candidate_pairs": _q_er_candidate_pairs,
-        "er_matches": _q_er_matches,
-        "er_clusters": _q_er_clusters,
-        "er_golden_records": _q_er_golden_records,
-        # r5b: sorted-neighborhood blocking (the classic non-key ER
-        # blocking strategy; distributed rank, no global window) — pairs
-        # and the end-to-end match set, both full DuckDB oracles
-        "er_sn_pairs": _q_er_sn_pairs,
-        "er_sn_matches": _q_er_sn_matches,
-        # r5b: the two standard blocking-quality metrics (pairs
-        # completeness / reduction ratio), key vs sorted-neighborhood,
-        # and the match set under the union of both blockings
-        "er_blocking_report": _q_er_blocking_report,
-        "er_matches_combined": _q_er_matches_combined,
+        # the near-dedupe pipeline chain (SURVEY.md §2: S/T/B/J/C/O
+        # operators). Rows-only by nature: the reference-parity hash family
+        # (XXH64 over UTF-16 of the bitset-tokenized text) is not
+        # SQL-expressible, so no DuckDB oracle can exist; these are pinned
+        # by golden vectors + property tests (tests/golden/*, SURVEY §5)
+        # and by the lsh_sql_* twins above, which drive the SAME
+        # pairing/CC/resolve operator objects under an md5 family DuckDB
+        # computes — hash-green there verifies the shared machinery.
+        "lsh_signatures": _q_lsh_signatures,
+        "lsh_bands": _q_lsh_bands,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "lsh_dupe_edges": _q_lsh_dupe_edges,
+        "lsh_clusters": _q_lsh_clusters,
+        "lsh_dedupe_kept": _q_lsh_dedupe_kept,
+        "lsh_dedupe_32bit": _q_lsh_dedupe_32bit,
+        "lsh_bands_rbs": _q_lsh_bands_rbs,
+        "incremental_dedupe": _q_incremental_dedupe,
+        "lsh_greedy_kept": _q_lsh_greedy_kept,
+        # rows-only: scores XXH64-parity sketches (not SQL-expressible);
+        # its value is the LSH ⊆ brute-force containment property test
+        "brute_force_dupe_pairs": _q_brute_force_dupe_pairs,
         # simhash: the production fingerprint is XXH64-based (rows-only,
-        # same reason as the parity chain); simhash_sql* is its md5/60-bit
-        # twin with the identical vote/sign/pack construction, fully
-        # oracle-mirrored
+        # same reason as the parity chain); its sql twins sit in-window
         "simhash": _q_simhash,
         "simhash_dupe_pairs": _q_simhash_dupe_pairs,
-        "simhash_sql": _q_simhash_sql,
-        "simhash_sql_pairs": _q_simhash_sql_pairs,
-        # ann_topk is the exact baseline (full oracle); the lsh/ivf paths
-        # are APPROXIMATE by design (seeded hyperplanes / k-means) — no SQL
-        # oracle can define their candidate sets, so they are rows-only
-        # with measured-recall pins in tests/test_ann_recall.py
-        "ann_topk": _q_ann_topk,
+        # the lsh/ivf ANN paths are APPROXIMATE by design (seeded
+        # hyperplanes / k-means) — no SQL oracle can define their
+        # candidate sets, so they are rows-only with measured-recall pins
+        # in tests/test_ann_recall.py
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        "embedding_dupe_pairs": _q_embedding_dupe_pairs,
         "embedding_dupe_pairs_lsh": _q_embedding_dupe_pairs_lsh,
-        # r5: SemDeDup composition — exact pair set (hash-green above) →
-        # shared CC → min-id keep; full recursive-CTE oracle. The _lsh twin
-        # is the scale path (approximate candidates → rows-only; exact/LSH
-        # agreement pinned in tests/test_quality_semdedup.py)
-        "semantic_dedupe": _q_semantic_dedupe,
         "semantic_dedupe_lsh": _q_semantic_dedupe_lsh,
-        # r5: benchmark decontamination — 13-gram cross-corpus collision
-        # (broadcast bench set, one doc-keyed shuffle); full oracle
-        "ngram_contamination": _q_ngram_contamination,
-        # r5: exact-substring (span) duplicate coverage + cluster-shape
-        # telemetry; both full oracles
-        "duplicate_spans": _q_duplicate_spans,
-        "dedupe_report": _q_dedupe_report,
-        # r5: the composed crawl-to-clean-corpus pipeline (7 stages, one
-        # oracle statement replaying the whole composition)
-        "web_clean_report": _q_web_clean_report,
-        "binary_features": _q_binary_features,
         # rows-only: the decode step is an HONEST stub (no media libs in
         # the container — operators/multimodal.py gates it); the Spark-side
         # plumbing it exercises is real and the resize arithmetic is tested
         "binary_decode_stub": _q_binary_decode_stub,
-        "frame_offsets": _q_frame_offsets,
     }
 
     def _released(fn):

@@ -338,6 +338,14 @@ def er_blocking_report(
     count and truth-hit count come from ONE left join + aggregate, so
     each generator's plan is evaluated once per strategy (Spark does not
     CSE a plan duplicated across aggregate branches).
+
+    Oracle cap assumption: the driver's ``er_blocking_report`` oracle
+    pairs this capped generator against an UNCAPPED all-pairs ``er_cand``
+    CTE; parity holds exactly while no block exceeds ``cap`` (true at the
+    gated scale factors — the same pre-existing assumption ``er_matches``
+    documents). At scale factors where an ``nm:`` block tops 256 rows the
+    capped+star head selection would have to be mirrored into the oracle,
+    as the LSH pair oracles already do.
     """
     truth = er_truth_pairs(records)
     n_rows = records.select(F.count(F.lit(1)).alias("n"))

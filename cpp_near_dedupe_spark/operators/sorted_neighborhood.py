@@ -28,7 +28,15 @@ Scale shape (the part worth getting right at 10¹² rows):
   (bucket, bucket-1) and the join emits each qualifying pair exactly
   once. Output is linear — ~N·(w-1) pairs — and every join is a plain
   shuffled equi-join; no window, no cross join, no skew hazard (bucket
-  populations are exactly ``w`` by construction).
+  populations are at most ``w`` by construction — ranks are 1-based, so
+  bucket 0 holds the w-1 rows of ranks 1..w-1).
+
+NULL contract: sort keys must be non-null. Spark's total order places
+NULLs FIRST while the DuckDB oracles' ORDER BY defaults to NULLS LAST,
+so a NULL sort key would produce engine-divergent ranks; every current
+caller derives keys from non-null expressions (the ER fixture's names
+are md5-derived). Callers with nullable keys should coalesce them to a
+sentinel before ranking.
 """
 
 from __future__ import annotations
