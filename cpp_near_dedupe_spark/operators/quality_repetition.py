@@ -31,13 +31,16 @@ operator is hash-verifiable against a DuckDB oracle.
 Scale: a per-row map — no shuffle, no window. Splitting (lower + regex
 tokenize, line/paragraph split) stays JVM-side, so the engine-parity
 contract is exactly the one every other hash-green text query already
-relies on; the frequency counting runs in ONE vectorized Arrow kernel
-(``repetition_counts`` under a scalar ``pandas_udf``) because the same
-counts as Catalyst higher-order ``aggregate`` lambdas are interpreted
-per-element and measured ~50× slower (37 s for 5k docs vs <1 s) — the
-same batch-kernel trade ``operators/simhash.py`` makes. The kernel sees
-only pre-split token/line arrays (no locale-sensitive work), is O(Σ n·W)
-per batch with dict counting, and is embarrassingly parallel at 100 TB.
+relies on; the frequency counting runs in ONE batch-GLOBAL vectorized
+Arrow kernel (``repetition_counts_batch`` under a ``pandas_udf`` — r6;
+the per-doc ``repetition_counts`` loop stays as the readable definition
+and equality oracle) because the same counts as Catalyst higher-order
+``aggregate`` lambdas are interpreted per-element and measured ~50×
+slower (37 s for 5k docs vs <1 s) — the same batch-kernel trade
+``operators/simhash.py`` makes. The kernel sees only pre-split
+token/line arrays (no locale-sensitive work), runs a handful of O(N)
+factorize/unique passes per batch (memory bounded by the token-budget
+split), and is embarrassingly parallel at 100 TB.
 The DuckDB oracle (``gopher_repetition_sql``) replays the counts
 relationally (unnest → per-doc GROUP BY), which is free to shuffle
 because it only ever runs at verification scale. Reference scope note:
@@ -145,6 +148,11 @@ def _flatten(seqs) -> tuple[np.ndarray, np.ndarray]:
     return flat, counts
 
 
+#: max total tokens one batch-global kernel pass may hold (see the memory
+#: guard in ``repetition_counts_batch``)
+_BATCH_TOKEN_BUDGET = 2_000_000
+
+
 def repetition_counts_batch(toks_list, lines_list, paras_list) -> np.ndarray:
     """(m, 15) int64 — the batch-GLOBAL vectorized twin of the per-doc
     ``repetition_counts`` loop (pinned element-equal by
@@ -172,6 +180,27 @@ def repetition_counts_batch(toks_list, lines_list, paras_list) -> np.ndarray:
     out = np.zeros((m, 15), dtype=np.int64)
     if m == 0:
         return out
+
+    # memory guard: the batch-global arrays are O(total tokens) × ~10
+    # int64 columns. Arrow batches are capped in ROWS (maxRecordsPerBatch),
+    # not bytes, so a batch of pathologically long documents could exceed
+    # worker memory — split it in half by document (per-doc stats are
+    # independent, so the split is exact) until each chunk fits the token
+    # budget (~2M tokens ≈ 200 MB of working arrays).
+    if m > 1:
+        total = sum(len(t) for t in toks_list)
+        if total > _BATCH_TOKEN_BUDGET:
+            h = m // 2
+            return np.vstack(
+                [
+                    repetition_counts_batch(
+                        toks_list[:h], lines_list[:h], paras_list[:h]
+                    ),
+                    repetition_counts_batch(
+                        toks_list[h:], lines_list[h:], paras_list[h:]
+                    ),
+                ]
+            )
 
     # --- line / paragraph duplicate stats (columns 0..5) -------------------
     for base, seqs in ((0, lines_list), (3, paras_list)):

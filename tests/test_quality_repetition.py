@@ -211,6 +211,30 @@ def test_batch_kernel_matches_perdoc_kernel():
         assert (got == exp).all(), (got.tolist(), exp.tolist())
 
 
+def test_batch_kernel_token_budget_split_is_exact():
+    """The memory-guard split (token budget exceeded → halve by doc)
+    returns exactly the unsplit answer."""
+    import random
+
+    import numpy as np
+
+    import cpp_near_dedupe_spark.operators.quality_repetition as qr
+
+    rng = random.Random(23)
+    vocab = ["a", "bb", "ccc", "dddd"]
+    T = [[rng.choice(vocab) for _ in range(rng.randint(0, 25))] for _ in range(9)]
+    L = [["x", "same line"] for _ in range(9)]
+    P = [["p"] for _ in range(9)]
+    unsplit = qr.repetition_counts_batch(T, L, P)
+    budget = qr._BATCH_TOKEN_BUDGET
+    try:
+        qr._BATCH_TOKEN_BUDGET = 10  # force recursive splitting
+        split = qr.repetition_counts_batch(T, L, P)
+    finally:
+        qr._BATCH_TOKEN_BUDGET = budget
+    assert (split == unsplit).all()
+
+
 def test_kernel_seg_counts_match_bruteforce():
     import random
     from collections import Counter
