@@ -144,8 +144,21 @@ def _component_dropped(
     from .clustering import connected_components
 
     comp = connected_components(e, distinct_pairs=True)
-    tagged = e.join(
-        comp.select(F.col("id").alias("a"), F.col("cluster_id").alias("comp")), "a"
+    # registry-persisted (r6): tagged is consumed by the big-component
+    # probe's collect() job AND the per-component resolve in the final
+    # plan — unpersisted, the second consumer re-ran the CC-finalize
+    # aggregation (members ∪ roots) and the edge join. One row per edge,
+    # i.e. O(duplicate mass), same lifecycle as the other tracked
+    # persists (cache.py contract: the materializing caller releases).
+    # Interleaved A/B at sf0.1: 49 vs 54-55 Spark jobs, minima 6.71 vs
+    # 7.98 s on lsh_greedy_kept.
+    from ..cache import track
+
+    tagged = track(
+        e.join(
+            comp.select(F.col("id").alias("a"), F.col("cluster_id").alias("comp")),
+            "a",
+        )
     )
     # cap on EDGES per component, not nodes: the applyInPandas task below
     # materializes the component's edge list, and under dense edge sets
