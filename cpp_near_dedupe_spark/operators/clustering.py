@@ -155,24 +155,28 @@ def connected_components(
     cur = _canonicalize(edges, distinct_pairs).localCheckpoint(eager=False)
     prev_sum: tuple[int, int] | None = None
     converged = False
-    for i in range(max_iterations):
-        # First iteration: ONE star round (the big shrink — checkpointing
-        # right after it keeps the second round's input small). After
-        # that: TWO rounds per checkpoint+checksum job — near-dup graphs
-        # converge in 2-3 rounds, so pairing halves the per-job driver
-        # latency that dominates CC wall time on small residual data. An
-        # odd-round fixpoint just makes the extra round a no-op; the
-        # checksum still stabilizes one job later.
+    # ONE star round (large + small) per checkpoint+checksum job (r6,
+    # second session). The r5/r6 scheme batched TWO rounds per job after
+    # the first, betting that fewer driver actions beat wasted rounds —
+    # but the dedupe graphs this engine builds (fingerprint-collapsed
+    # families, star-routed hot buckets) converge in 1-2 rounds, so the
+    # batched confirm job mostly re-ran no-op rounds: a no-op star round
+    # on the converged forest still shuffles the whole forest. Single-
+    # round jobs do strictly fewer star rounds for any graph converging
+    # in ≤2 rounds and tie at 3; interleaved A/B at sf0.1 (3 reps,
+    # minima): lsh_clusters 5.11 vs 5.96, er_golden_records 4.60 vs
+    # 5.17, pages_dedupe 3.59 vs 4.06, incremental_sql_dedupe 10.07 vs
+    # 11.60, semantic_dedupe_lsh 4.17 vs 4.42 — single wins 5/5. The
+    # loop bound doubles so the ROUND budget (max_iterations counted
+    # round-pairs in the batched scheme) is unchanged for deep chains.
+    for _ in range(2 * max_iterations):
         # per-round physical choice from the edge count the previous
         # checksum already measured (see the formulation comment above).
         # Round 1 has no measured count yet and uses the scale-safe
-        # groupBy+join form — the first round is the largest one, exactly
-        # where a mega-hub window task would be the hazard.
+        # groupBy+join form — the first round is the largest one,
+        # exactly where a mega-hub window task would be the hazard.
         uw = prev_sum is not None and prev_sum[0] <= _WINDOW_EDGE_CAP
-        nxt = _small_star(_large_star(cur, uw), uw)
-        if i > 0:
-            nxt = _small_star(_large_star(nxt, uw), uw)
-        nxt = nxt.localCheckpoint(eager=False)
+        nxt = _small_star(_large_star(cur, uw), uw).localCheckpoint(eager=False)
         cur_sum = _checksum(nxt)
         cur = nxt
         if cur_sum == prev_sum:
@@ -181,7 +185,8 @@ def connected_components(
         prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} iterations"
+            "connected_components did not converge in "
+            f"{2 * max_iterations} star rounds (max_iterations={max_iterations})"
         )
     # converged star forest: each non-root u points at its root; roots point
     # at themselves implicitly. min() guards the (impossible by construction,
