@@ -218,6 +218,48 @@ def test_connected_components_vs_union_find(spark, case):
     assert set(got) == nodes_in_edges
 
 
+def test_connected_components_round_budget(spark):
+    """Pins the r6 single-round-per-job convergence loop: the round
+    budget is 2 * max_iterations star rounds (the historical unit was
+    round-pairs), so a graph needing more rounds than a tiny budget
+    raises with the round count in the message, while the same graph
+    converges under the default budget (covered case-by-case above)."""
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["a", "b"]), "a long, b long"
+    )
+    # max_iterations=1 allows exactly 2 star rounds; a 31-node chain
+    # cannot converge AND confirm within them
+    with pytest.raises(RuntimeError, match="star rounds"):
+        connected_components(df, max_iterations=1)
+    # the budget is rounds, not jobs: the same chain converges well
+    # inside the default allowance and matches the union-find oracle
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_greedy_component_cache_drains(spark):
+    """The r6 tagged-edges persist in the greedy component router must
+    follow the cache.py lifecycle: registered while the query is live,
+    gone after release_all()."""
+    from cpp_near_dedupe_spark.cache import release_all, tracked_count
+    from cpp_near_dedupe_spark.operators.greedy import greedy_resolve
+
+    release_all()
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6)}), "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"a": [0, 1], "b": [1, 2]}), "a long, b long"
+    )
+    out = greedy_resolve(docs, edges, CFG)
+    n = out.count()
+    assert n == 6
+    assert tracked_count() >= 1  # the tagged persist is registered
+    release_all()
+    assert tracked_count() == 0
+
+
 def test_resolve_and_output(spark):
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": ["a"] * 5}),
